@@ -1,0 +1,270 @@
+"""The read-side query corpus (SURVEY.md §2.9) as DataFrame functions.
+
+Each query reproduces one Cypher pattern from the reference's command
+corpus (``docs/cypher-cmds.txt`` / ``docs/cypher-cmds-1.txt``) over the
+KG derived by :mod:`kgeng.graph.kgview`, plus a set of analytic
+queries over the raw tables. Every computed column is aliased so the
+DuckDB oracle (:mod:`kgeng.queries.oracles`) can match names exactly.
+
+All functions take ``(spark, sf_dir)`` and return a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgeng.graph.build import node_class_lookup, reorder_categories
+from kgeng.graph.kgview import kg_edges, kg_nodes, read_table
+
+POINT_ID = "CUST:42"
+ONE_HOP_ID = "CUST:1"
+TARGET_BRAND = "BRND:Brand#13"
+
+
+# ---------------------------------------------------------------------------
+# §2.9 KG query corpus
+# ---------------------------------------------------------------------------
+
+
+def kg_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(1) point lookup by id — ``match (a {id:X}) return a``
+    (ref docs/cypher-cmds.txt:93-95)."""
+    nodes = kg_nodes(spark, sf_dir)
+    return nodes.filter(F.col("id") == POINT_ID).select(
+        "id",
+        "name",
+        F.get(reorder_categories(F.col("category")), 0).alias("primary_class"),
+    )
+
+
+def kg_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(2) substring filter + order + limit — ``where a.id contains ...``
+    (ref docs/cypher-cmds-1.txt:54-56)."""
+    nodes = kg_nodes(spark, sf_dir)
+    return (
+        nodes.filter(F.col("id").contains("PART") & F.col("name").contains("red"))
+        .select("id", "name")
+        .orderBy("id")
+        .limit(20)
+    )
+
+
+def kg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(3) global node/edge counts (ref docs/cypher-cmds.txt:103-104)."""
+    n = kg_nodes(spark, sf_dir).agg(F.count("*").alias("n_nodes"))
+    e = kg_edges(spark, sf_dir).agg(F.count("*").alias("n_edges"))
+    return n.crossJoin(e)
+
+
+def kg_label_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(4) distinct label inventory — ``UNWIND labels(a) ... distinct``
+    (ref docs/cypher-cmds-1.txt:84-86), with per-label node counts."""
+    nodes = kg_nodes(spark, sf_dir)
+    return (
+        nodes.select(F.explode(reorder_categories(F.col("category"))).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def kg_duplicate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(5) duplicate-name audit — ``with a.name as name, count(a) as cnt
+    where cnt > 1`` (ref docs/cypher-cmds-1.txt:81)."""
+    nodes = kg_nodes(spark, sf_dir)
+    return (
+        nodes.groupBy("name")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(6) 1-hop neighborhood with per-predicate counts —
+    ``match (a {id:X})-[x]-(b) return type(x), x.primary_knowledge_source,
+    count(b)`` (ref docs/cypher-cmds.txt:91). Undirected match = union
+    of outgoing and incoming, tagged with direction."""
+    edges = kg_edges(spark, sf_dir)
+    out = edges.filter(F.col("subject") == ONE_HOP_ID).select(
+        "predicate", "primary_knowledge_source", F.lit("out").alias("direction")
+    )
+    inc = edges.filter(F.col("object") == ONE_HOP_ID).select(
+        "predicate", "primary_knowledge_source", F.lit("in").alias("direction")
+    )
+    return (
+        out.unionByName(inc)
+        .groupBy("predicate", "primary_knowledge_source", "direction")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def kg_predicate_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(7) distinct predicate inventory (ref docs/cypher-cmds-1.txt:97)."""
+    return (
+        kg_edges(spark, sf_dir)
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(8) the flagship: 2-hop constrained path with ``subclass_of*0..1``
+    closure (ref docs/cypher-cmds-1.txt:102 — chemical→affects→gene
+    →subclass_of*0..1→target).
+
+    Analogue: parts that are (0- or 1-hop) subclasses of TARGET_BRAND,
+    and for each such part the number of distinct orders containing it.
+    The 0..1 closure is the union of the target itself with its direct
+    subclass children — no recursion needed, exactly like the Cypher.
+    The small closure side is broadcast so the big ``contains`` probe
+    never shuffles.
+    """
+    edges = kg_edges(spark, sf_dir)
+    zero_hop = spark.createDataFrame([(TARGET_BRAND,)], ["member"])
+    one_hop = (
+        edges.filter(
+            (F.col("predicate") == "biolink:subclass_of")
+            & (F.col("object") == TARGET_BRAND)
+        )
+        .select(F.col("subject").alias("member"))
+        .distinct()
+    )
+    closure = zero_hop.unionByName(one_hop)
+    contains = edges.filter(F.col("predicate") == "biolink:contains")
+    return (
+        contains.join(F.broadcast(closure), contains["object"] == closure["member"])
+        .groupBy(F.col("object").alias("part_id"))
+        .agg(F.countDistinct("subject").alias("n_orders"))
+    )
+
+
+def kg_degree0_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(9) degree-0 audit — ``where node.degree_in(a) = 0``
+    (ref docs/cypher-cmds.txt:112-115): nodes with no incoming edge,
+    counted per primary class. Left-anti join = the distributed NOT
+    EXISTS."""
+    nodes = kg_nodes(spark, sf_dir)
+    edges = kg_edges(spark, sf_dir)
+    lookup = node_class_lookup(nodes)
+    orphans = lookup.join(
+        edges.select(F.col("object").alias("id")).distinct(), "id", "left_anti"
+    )
+    return orphans.groupBy("node_class").agg(F.count("*").alias("n"))
+
+
+def kg_reorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(O1 exposure) reordered category arrays for a deterministic node
+    sample — verifies 'head = highest-priority class present, tail
+    sorted' against an independent oracle derivation."""
+    nodes = kg_nodes(spark, sf_dir)
+    return (
+        nodes.filter(F.col("id").startswith("CUST:"))
+        .filter(F.substring_index(F.col("id"), ":", -1).cast("long") % 100 == 0)
+        .select("id", reorder_categories(F.col("category")).alias("category_reordered"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic queries over the raw tables (bench anchors + operator coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy multi-agg groupBy."""
+    line = read_table(spark, sf_dir, "lineitem")
+    return (
+        line.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg: revenue per customer nation."""
+    cust = read_table(spark, sf_dir, "customer")
+    natn = read_table(spark, sf_dir, "nation")
+    ordr = read_table(spark, sf_dir, "orders")
+    line = read_table(spark, sf_dir, "lineitem")
+    return (
+        line.join(ordr, line["l_orderkey"] == ordr["o_orderkey"])
+        .join(cust, ordr["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(natn), cust["c_nationkey"] == natn["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window: top 3 parts by total quantity within
+    each brand (deterministic tie-break on partkey)."""
+    part = read_table(spark, sf_dir, "part")
+    line = read_table(spark, sf_dir, "lineitem")
+    per_part = (
+        line.join(part, line["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "total_qty", "rank")
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed event rollup (the batch twin of the streaming
+    windowed agg in kgeng.streaming)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi-join: orders having at least one lineitem
+    shipped after commit-date-ish threshold, counted per priority."""
+    ordr = read_table(spark, sf_dir, "orders")
+    line = read_table(spark, sf_dir, "lineitem")
+    late = line.filter(F.col("l_shipdate") >= F.lit("1995-01-01")).select("l_orderkey").distinct()
+    return (
+        ordr.join(late, ordr["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_point_lookup": kg_point_lookup,
+    "kg_substring_filter": kg_substring_filter,
+    "kg_counts": kg_counts,
+    "kg_label_inventory": kg_label_inventory,
+    "kg_duplicate_names": kg_duplicate_names,
+    "kg_one_hop": kg_one_hop,
+    "kg_predicate_inventory": kg_predicate_inventory,
+    "kg_two_hop_closure": kg_two_hop_closure,
+    "kg_degree0_audit": kg_degree0_audit,
+    "kg_reorder_audit": kg_reorder_audit,
+    "q_pricing_summary": q_pricing_summary,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q_events_daily": q_events_daily,
+    "q_order_priority_counts": q_order_priority_counts,
+}

@@ -1,0 +1,119 @@
+"""Unit tests for the reference-semantics build kernels (SURVEY.md §5
+item 1): O1 reorder invariant, F1 split + laundering, F2 two-step int
+cast, J2 join-drop semantics, A1 predicate aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgeng.graph.build import (
+    ORDERED_CATEGORIES,
+    int_coerce,
+    node_class_lookup,
+    predicate_class_pairs,
+    reorder_categories,
+    resolve_edge_classes,
+    split_packed_array,
+)
+
+
+def test_reorder_head_is_highest_priority(spark):
+    # category arrays deliberately unordered + duplicated
+    rows = [
+        (["biolink:NamedThing", "biolink:Disease", "biolink:Gene"],),
+        (["biolink:ChemicalEntity", "biolink:SmallMolecule", "biolink:SmallMolecule"],),
+        (["biolink:NamedThing"],),  # no priority class at all
+        (["biolink:ZZZ", "biolink:AAA"],),  # unknown classes -> sorted
+    ]
+    df = spark.createDataFrame(rows, "category: array<string>")
+    out = [r[0] for r in df.select(reorder_categories(F.col("category"))).collect()]
+    assert out[0] == ["biolink:Gene", "biolink:Disease", "biolink:NamedThing"]
+    assert out[1] == ["biolink:SmallMolecule", "biolink:ChemicalEntity"]  # deduped
+    assert out[2] == ["biolink:NamedThing"]
+    assert out[3] == ["biolink:AAA", "biolink:ZZZ"]
+    # invariant: head is the highest-priority class present
+    for inp, got in zip([r[0] for r in rows], out):
+        present = [c for c in ORDERED_CATEGORIES if c in inp]
+        if present:
+            assert got[0] == present[0]
+        assert sorted(got) == sorted(set(inp))
+
+
+def test_split_packed_array_and_laundering(spark):
+    df = spark.createDataFrame(
+        [("a;b's;c",), ("",), (None,), ("solo",)], "cell: string"
+    )
+    out = [r[0] for r in df.select(split_packed_array(F.col("cell"))).collect()]
+    assert out[0] == ["a", "b`s", "c"]  # quote laundered ' -> `
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["solo"]
+    # float[] variant
+    df2 = spark.createDataFrame([("0.001;0.05",), ("",)], "cell: string")
+    out2 = [r[0] for r in df2.select(split_packed_array(F.col("cell"), launder=False, element_type="double")).collect()]
+    assert out2[0] == [0.001, 0.05] and out2[1] == []
+
+
+def test_int_coerce_two_step(spark):
+    df = spark.createDataFrame([("3.0",), ("12",), ("",), (None,)], "cell: string")
+    out = [r[0] for r in df.select(int_coerce(F.col("cell"))).collect()]
+    assert out == [3, 12, None, None]
+
+
+def test_resolve_edge_classes_drops_misses(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("N:1", ["biolink:Gene"]),
+            ("N:2", ["biolink:Disease", "biolink:NamedThing"]),
+        ],
+        "id: string, category: array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("N:1", "biolink:affects", "N:2"),
+            ("N:1", "biolink:affects", "N:MISSING"),
+            ("N:MISSING", "biolink:affects", "N:2"),
+        ],
+        "subject: string, predicate: string, object: string",
+    )
+    lookup = node_class_lookup(nodes)
+    resolved, dropped = resolve_edge_classes(edges, lookup, broadcast_lookup=True)
+    res = resolved.collect()
+    assert len(res) == 1
+    assert res[0]["subject_class"] == "biolink:Gene"
+    assert res[0]["object_class"] == "biolink:Disease"
+    assert dropped.count() == 2  # the miss side-channel
+
+
+def test_predicate_class_pairs(spark):
+    resolved = spark.createDataFrame(
+        [
+            ("biolink:affects", "biolink:Gene", "biolink:Disease"),
+            ("biolink:affects", "biolink:Gene", "biolink:Disease"),
+            ("biolink:affects", "biolink:Gene", "biolink:Cell"),
+            ("biolink:treats", "biolink:SmallMolecule", "biolink:Disease"),
+        ],
+        "predicate: string, subject_class: string, object_class: string",
+    )
+    out = {r["predicate"]: r["class_pairs"] for r in predicate_class_pairs(resolved).collect()}
+    affects = [(p["subject_class"], p["object_class"]) for p in out["biolink:affects"]]
+    assert affects == [("biolink:Gene", "biolink:Cell"), ("biolink:Gene", "biolink:Disease")]
+    assert len(out["biolink:treats"]) == 1
+
+
+def test_typed_header_parser():
+    from pyspark.sql import types as T
+
+    from kgeng.schemas import parse_typed_header
+
+    schema, tags = parse_typed_header(
+        "id:ID\tname:string\tcategory:LABEL\tlipinski:int\tp_value:float[]\tok:boolean\tscore:float\n"
+    )
+    assert [f.name for f in schema.fields] == ["id", "name", "category", "lipinski", "p_value", "ok", "score"]
+    assert schema["lipinski"].dataType == T.LongType()
+    assert schema["score"].dataType == T.DoubleType()
+    assert tags["category"] == "label" and tags["p_value"] == "float[]"
+    # unknown tag -> fail fast (reference silently emits poison DDL)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_typed_header("x:decimal(10,2)")

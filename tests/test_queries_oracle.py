@@ -1,0 +1,46 @@
+"""Every queries() entry must match its DuckDB oracle at sf0.001
+(fast) — the driver runs the same comparison at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgeng.queries.corpus import QUERIES
+from kgeng.queries.oracles import ORACLES
+
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, name):
+    if name not in ORACLES:
+        pytest.skip(f"{name}: no SQL oracle (rows-only check)")
+    df = QUERIES[name](spark, SF_DIR)
+    report = compare(df, con, ORACLES[name])
+    assert report["cols_match"], report
+    assert report["rows_match"], report
+    assert report["values_match"], report
+
+
+def test_all_queries_have_oracles_or_are_documented():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may be oracle-less; keep the list explicit
+    allowed_missing: set[str] = set()
+    assert missing == allowed_missing, f"unexpected oracle-less queries: {missing}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"part_id", "n_orders"}
