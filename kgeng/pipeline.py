@@ -1,0 +1,256 @@
+"""End-to-end KG construction pipeline (BASELINE.json north_star):
+
+  pages --extract_text--> text --triples--> surface triples
+        --link--> curie triples --canon--> canonical triples
+        --materialize--> nodes + edges tables
+
+Each stage is a separate snapshot: output parquet + a lineage commit
+(input fingerprint, row count, metrics). A re-run fingerprints its
+inputs, finds the commit, and skips straight to the next stage — the
+distributed replacement for the reference's pickle-checkpointed
+multi-invocation flow (``Kuzu/kuzu_build_graph_csv.py:621-753``).
+
+Scale design notes (local[32] here, 1000 executors by intent):
+- only (url, text) columns cross the Arrow boundary in the two UDF
+  stages; everything else is JVM-side;
+- the alias dictionary is broadcast (reference holds the same data
+  in one heap);
+- the per-edge source aggregation is two-phase with an explicit salt
+  on the hub-skewed (subject, predicate, object) key, so one hot
+  entity cannot pin a reducer (AQE skew-join stays on as backstop);
+- every stage writes with ``maxRecordsPerFile`` to bound file sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgeng.canon.cc import canonical_map
+from kgeng.extract.text import extracted_text
+from kgeng.extract.triples import extract_triples
+from kgeng.graph.build import reorder_categories
+from kgeng.io.lineage import LineageLog, fingerprint_paths
+from kgeng.io.sinks import write_partitioned
+from kgeng.link.candidates import link_triples
+
+SALT_BUCKETS = 16
+MAX_PUBLICATIONS = 10
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, pages_path: str, dict_path: str, out_dir: str):
+        self.spark = spark
+        self.pages_path = pages_path
+        self.dict_path = dict_path
+        self.out = out_dir.rstrip("/")
+        self.log = LineageLog(self.out)
+        self.metrics: dict[str, dict] = {}
+
+    # -- stage runner -------------------------------------------------
+    def _stage(self, name: str, inputs: list[str], build, partition_by=None) -> str:
+        out_path = f"{self.out}/{name}"
+        fp = fingerprint_paths(*inputs, extra=name)
+        prior = self.log.committed(name, fp)
+        if prior is not None:
+            self.metrics[name] = {"skipped": True, **prior["metrics"]}
+            return out_path
+        t0 = time.time()
+        df = build()
+        write_partitioned(df, out_path, partition_by=partition_by)
+        n = self.spark.read.parquet(out_path).count()
+        m = {"rows": n, "seconds": round(time.time() - t0, 3)}
+        self.log.commit(name, fp, n, out_path, metrics=m)
+        self.metrics[name] = {"skipped": False, **m}
+        return out_path
+
+    def _read(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    # -- stages --------------------------------------------------------
+    def stage_extract_text(self) -> str:
+        def build():
+            pages = self.spark.read.parquet(self.pages_path)
+            return pages.select(
+                "url", "lang", extracted_text(F.col("html")).alias("text")
+            )
+
+        return self._stage("extract_text", [self.pages_path], build)
+
+    def stage_triples(self, text_path: str) -> str:
+        def build():
+            pages = self._read(text_path).filter(F.col("lang") == "en")
+            return extract_triples(pages)
+
+        return self._stage("triples", [text_path], build)
+
+    def stage_link(self, triples_path: str) -> str:
+        def build():
+            triples = self._read(triples_path)
+            dictionary = self.spark.read.parquet(self.dict_path)
+            linked, unlinked = link_triples(triples, dictionary)
+            # persist the miss side-channel next to the stage output
+            write_partitioned(unlinked, f"{self.out}/link_misses")
+            return linked
+
+        return self._stage("link", [triples_path, self.dict_path], build)
+
+    def stage_canon(self, linked_path: str) -> str:
+        def build():
+            linked = self._read(linked_path)
+            dictionary = self.spark.read.parquet(self.dict_path)
+            cmap = F.broadcast(canonical_map(dictionary))
+            s_map = cmap.withColumnRenamed("curie", "subject_curie").withColumnRenamed(
+                "canonical_curie", "subject_canon"
+            )
+            o_map = cmap.withColumnRenamed("curie", "object_curie").withColumnRenamed(
+                "canonical_curie", "object_canon"
+            )
+            return (
+                linked.join(s_map, "subject_curie")
+                .join(o_map, "object_curie")
+                .select(
+                    "url",
+                    F.col("subject_canon").alias("subject"),
+                    "predicate",
+                    F.col("object_canon").alias("object"),
+                )
+            )
+
+        return self._stage("canon", [linked_path, self.dict_path], build)
+
+    def stage_materialize(self, canon_path: str) -> tuple[str, str]:
+        canon_df_path = canon_path
+        edges_out = f"{self.out}/edges"
+        nodes_out = f"{self.out}/nodes"
+        fp = fingerprint_paths(canon_df_path, self.dict_path, extra="materialize")
+        prior = self.log.committed("materialize", fp)
+        if prior is not None:
+            self.metrics["materialize"] = {"skipped": True, **prior["metrics"]}
+            return nodes_out, edges_out
+        t0 = time.time()
+        triples = self._read(canon_df_path)
+        dictionary = self.spark.read.parquet(self.dict_path)
+        cmap = F.broadcast(canonical_map(dictionary))
+
+        # -- edges: two-phase salted aggregation over the hub-skewed key
+        salted = triples.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
+        )
+        partial = salted.groupBy("subject", "predicate", "object", "salt").agg(
+            F.collect_set("url").alias("urls"), F.count("*").alias("n")
+        )
+        edges = (
+            partial.groupBy("subject", "predicate", "object")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("urls")))),
+                    1,
+                    MAX_PUBLICATIONS,
+                ).alias("publications"),
+                F.sum("n").alias("n_sources"),
+            )
+            .select(
+                F.xxhash64("subject", "predicate", "object").alias("id"),
+                "subject",
+                "predicate",
+                "object",
+                F.lit("infores:kgeng").alias("primary_knowledge_source"),
+                "publications",
+                F.create_map(
+                    F.lit("n_sources"), F.col("n_sources").cast("string")
+                ).alias("properties"),
+            )
+        )
+        write_partitioned(edges, edges_out, partition_by=["predicate"])
+
+        # -- nodes: canonical entities referenced by any edge
+        referenced = (
+            triples.select(F.col("subject").alias("id"))
+            .unionByName(triples.select(F.col("object").alias("id")))
+            .distinct()
+        )
+        members = dictionary.join(
+            cmap, dictionary["curie"] == cmap["curie"], "inner"
+        ).select(
+            F.col("canonical_curie").alias("id"),
+            dictionary["curie"].alias("member_curie"),
+            "label",
+            "categories",
+            "equivalent_identifiers",
+        )
+        grouped = members.groupBy("id").agg(
+            F.min(F.when(F.col("member_curie") == F.col("id"), F.col("label"))).alias("name"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("categories")))).alias("cat_raw"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("equivalent_identifiers")))).alias(
+                "equivalent_identifiers"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        nodes = (
+            grouped.join(referenced, "id", "left_semi")
+            .select(
+                "id",
+                "name",
+                reorder_categories(F.col("cat_raw")).alias("category"),
+                "equivalent_identifiers",
+                F.create_map(F.lit("n_members"), F.col("n_members").cast("string")).alias(
+                    "properties"
+                ),
+            )
+            .withColumn("node_class", F.get(F.col("category"), 0))
+        )
+        write_partitioned(nodes, nodes_out, partition_by=["node_class"])
+
+        nodes_df = self._read(nodes_out)
+        edges_df = self._read(edges_out)
+        n_nodes, n_edges = nodes_df.count(), edges_df.count()
+        # PRIMARY KEY analogue: id-uniqueness audit (SURVEY.md §2.9)
+        dup_ids = nodes_df.groupBy("id").count().filter(F.col("count") > 1).count()
+        if dup_ids:
+            raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
+        m = {"nodes": n_nodes, "edges": n_edges, "seconds": round(time.time() - t0, 3)}
+        self.log.commit("materialize", fp, n_nodes + n_edges, edges_out, metrics=m)
+        self.metrics["materialize"] = {"skipped": False, **m}
+        return nodes_out, edges_out
+
+    # -- driver ---------------------------------------------------------
+    def run(self) -> dict:
+        text_path = self.stage_extract_text()
+        triples_path = self.stage_triples(text_path)
+        linked_path = self.stage_link(triples_path)
+        canon_path = self.stage_canon(linked_path)
+        nodes_out, edges_out = self.stage_materialize(canon_path)
+        return {
+            "nodes": nodes_out,
+            "edges": edges_out,
+            "triples": canon_path,
+            "metrics": self.metrics,
+        }
+
+
+def run_pipeline(
+    spark: SparkSession, pages_path: str, dict_path: str, out_dir: str
+) -> dict:
+    return Pipeline(spark, pages_path, dict_path, out_dir).run()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="kgeng KG-construction pipeline")
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--dictionary", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    from kgeng.session import get_spark
+
+    spark = get_spark("kgeng-pipeline", cpus=args.cpus)
+    result = run_pipeline(spark, args.pages, args.dictionary, args.out)
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

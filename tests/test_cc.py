@@ -1,0 +1,63 @@
+"""Connected-components (large-star/small-star) vs a driver-side
+union-find oracle."""
+
+from __future__ import annotations
+
+from kgeng.canon.cc import canonical_map, connected_components
+
+
+def _uf_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "u: string, v: string")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _uf_oracle(edges)
+
+
+def test_cc_chain(spark):
+    _check(spark, [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)])
+
+
+def test_cc_islands_and_clique(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")]
+    _check(spark, edges)
+
+
+def test_cc_pseudorandom(spark):
+    edges = [
+        (f"v{(i * 17) % 97:02d}", f"v{(i * 31 + 5) % 97:02d}")
+        for i in range(60)
+        if (i * 17) % 97 != (i * 31 + 5) % 97
+    ]
+    _check(spark, edges)
+
+
+def test_canonical_map_fixture(spark):
+    from kgeng import fixtures
+
+    dictionary = spark.createDataFrame(
+        [
+            (fixtures.entity_curie(k), fixtures.entity_name(k),
+             fixtures.entity_aliases(k), fixtures.entity_equivalent_identifiers(k))
+            for k in range(60)
+        ],
+        "curie: string, label: string, aliases: array<string>, equivalent_identifiers: array<string>",
+    )
+    got = {r["curie"]: r["canonical_curie"] for r in canonical_map(dictionary).collect()}
+    for k in range(60):
+        assert got[fixtures.entity_curie(k)] == fixtures.entity_curie(fixtures.canonical_of(k)), k

@@ -1,0 +1,92 @@
+"""Extraction-stage tests: byte-identical text per url (BASELINE.json
+per-row invariant), Arrow-batch-size invariance, triple extraction
+kernel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgeng import fixtures
+from kgeng.extract.text import extract_text_py, extracted_text
+from kgeng.extract.triples import extract_triples, extract_triples_py
+
+FIX_DIR = "/root/repo/.fixtures"
+
+
+@pytest.fixture(scope="module")
+def pages_path():
+    p = os.path.join(FIX_DIR, "pages_1k.parquet")
+    fixtures.write_pages(p, 1000)
+    return p
+
+
+def test_kernel_byte_identity_closed_form():
+    for i in [0, 1, 7, 99, 500]:
+        assert extract_text_py(fixtures.page_html(i)) == fixtures.page_text(i)
+
+
+def test_kernel_handles_junk():
+    assert extract_text_py(None) is None
+    assert extract_text_py(b"") == ""
+    assert extract_text_py(b"<p>a &amp; b</p><script><p>x</p></script>") == "a & b"
+    assert extract_text_py(b"\xff\xfe<p>ok</p>") == "ok"  # bad bytes -> replaced
+
+
+def test_spark_extraction_byte_identity(spark, pages_path):
+    import pyspark.sql.functions as F
+
+    pages = spark.read.parquet(pages_path)
+    out = pages.select(
+        "url", "text", extracted_text(F.col("html")).alias("extracted")
+    )
+    mismatches = out.filter(
+        ~F.col("extracted").eqNullSafe(F.col("text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_batch_size_invariance(spark, pages_path):
+    """The extraction must not depend on how rows land in Arrow
+    batches (SURVEY.md §7.4 risk 1)."""
+    import pyspark.sql.functions as F
+
+    pages = spark.read.parquet(pages_path)
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        out = pages.repartition(13).select(
+            "url", "text", extracted_text(F.col("html")).alias("extracted")
+        )
+        assert out.filter(~F.col("extracted").eqNullSafe(F.col("text"))).count() == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+
+
+def test_triple_kernel_closed_form():
+    for i in [1, 2, 3, 50, 777]:
+        got = extract_triples_py(fixtures.page_text(i))
+        specs = fixtures.page_sentence_specs(i)
+        assert len(got) == len(specs)
+        for (idx, s_surf, pred, o_surf), (s, _v, exp_pred, o) in zip(got, specs):
+            assert pred == exp_pred
+            assert s_surf.lower() == fixtures.entity_name(s).lower()
+            assert o_surf == fixtures.entity_name(o)
+
+
+def test_triple_kernel_non_matching():
+    assert extract_triples_py("No pattern here at all") == []
+    assert extract_triples_py("") == []
+    assert extract_triples_py(None) == []
+
+
+def test_spark_triples_count(spark, pages_path):
+    pages = spark.read.parquet(pages_path).filter("lang = 'en'")
+    n = extract_triples(pages).count()
+    expected = sum(
+        len(fixtures.page_sentence_specs(i))
+        for i in range(1000)
+        if fixtures.page_lang(i) == "en"
+    )
+    assert n == expected
