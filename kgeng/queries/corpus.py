@@ -251,7 +251,40 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
+from kgeng.textops.analysis import (  # noqa: E402
+    doc_fingerprint,
+    doc_lang_id,
+    doc_quality,
+    doc_token_stats,
+)
+from kgeng.textops.dedup import (  # noqa: E402
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from kgeng.textops.multimodal import mm_features, mm_metadata  # noqa: E402
+from kgeng.textops.similarity import ann_cosine_topk, ann_lsh_topk  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # training-data ops (documents / embeddings / events)
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "mm_metadata": mm_metadata,
+    "mm_features": mm_features,
+    "q_events_sessions": q_events_sessions,
+    "q_events_json": q_events_json,
     "kg_point_lookup": kg_point_lookup,
     "kg_substring_filter": kg_substring_filter,
     "kg_counts": kg_counts,

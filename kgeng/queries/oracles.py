@@ -98,7 +98,188 @@ edges AS (
 )
 """
 
+# Shared derived corpora for the dedup family (mirrors
+# kgeng.textops.dedup.dup_text_corpus / dup_embedding_corpus).
+DUP_TEXT_PRELUDE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, substr(text, instr(text, ' ') + 1) FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+jac AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(COUNT(*) * 1.0 / (ANY_VALUE(sa.sz) + ANY_VALUE(sb.sz) - COUNT(*)), 4) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+_LANG_PRED_SQL = """
+    CASE WHEN c_en = best THEN 'en'
+         WHEN c_de = best THEN 'de'
+         WHEN c_es = best THEN 'es'
+         WHEN c_fr = best THEN 'fr'
+         ELSE 'en' END
+"""
+
 ORACLES: dict[str, str] = {
+    # -- training-data ops ------------------------------------------------
+    "doc_token_stats": """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    "doc_quality": """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS sw,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           floor((sw * 1.0 / n) * 10000) / 10000 AS stopword_ratio,
+           floor(((chars - (n - 1)) * 1.0 / n) * 10000) / 10000 AS mean_token_len,
+           floor((0.4 * (sw * 1.0 / n)
+                 + 0.4 * least(n / 100.0, 1.0)
+                 + 0.2 * least(((chars - (n - 1)) * 1.0 / n) / 8.0, 1.0)) * 10000) / 10000 AS quality_score
+    FROM t
+    """,
+    "doc_lang_id": f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS c_en,
+             len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS c_de,
+             len(list_filter(string_split(text, ' '), x -> x IN ('el','los','las','que'))) AS c_es,
+             len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et','les'))) AS c_fr
+      FROM documents
+    ), with_best AS (
+      SELECT lang, c_en, c_de, c_es, c_fr,
+             greatest(c_en, c_de, c_es, c_fr) AS best
+      FROM scored
+    )
+    SELECT lang, {_LANG_PRED_SQL} AS lang_pred, COUNT(*) AS n
+    FROM with_best GROUP BY lang, lang_pred
+    """,
+    "doc_fingerprint": """
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(text))) AS n_distinct_fp
+    FROM documents GROUP BY source
+    """,
+    "dedup_exact": """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 10000, text FROM documents
+    )
+    SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    "dedup_ngram_jaccard": DUP_TEXT_PRELUDE
+    + """
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+    """,
+    "dedup_minhash_lsh": DUP_TEXT_PRELUDE
+    + """
+    , sig AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= 0.6
+    """,
+    "dedup_embedding_cosine": """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.999
+    """,
+    "ann_cosine_topk": """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS score
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "mm_metadata": """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           'image/' || source AS mime
+    FROM documents
+    """,
+    "q_events_sessions": """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    with_sid AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM with_sid GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    "q_events_json": """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    # -- KG query corpus --------------------------------------------------
     "kg_point_lookup": KG_PRELUDE
     + """
     SELECT id, name, category_reordered[1] AS primary_class

@@ -1,0 +1,74 @@
+"""Structured-Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.10); incremental ingest of
+new page/event files maps onto ``readStream`` + ``Trigger.AvailableNow``.
+This module provides the streaming twin of the batch event rollup
+(``q_events_daily``) plus batch sessionization, so the engine covers
+the stream-shaped part of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+
+
+def streaming_event_counts(
+    spark: SparkSession, events_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """readStream over a directory of event parquet files with
+    watermarked tumbling windows; drive with ``Trigger.AvailableNow`` /
+    memory sink in tests. Late rows beyond the watermark are dropped —
+    the standard late-data contract. ``events_dir`` must be a
+    directory (the streaming file source tails directories)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    # parquet NTZ timestamps -> session-TZ timestamps (watermarks
+    # require TIMESTAMP, not TIMESTAMP_NTZ)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session;
+    per-user session count and mean session length (rows)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> TS -> seconds
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` column, bucketed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,262 @@
+"""Deduplication family for training-data curation:
+
+- exact (hash groupBy),
+- n-gram Jaccard (shingle self-join),
+- MinHash + LSH (banded signature bucket-join),
+- SimHash (bitwise, xxhash64-based — Spark-only),
+- embedding-cosine near-dup.
+
+The driver's ``documents``/``embeddings`` tables contain no natural
+duplicates, so each op runs over a *derived corpus with closed-form
+duplicates*: the table unioned with a perturbed copy of itself
+(ids shifted by +10000; near-dup texts drop their first token; copy
+embeddings are exact). Both the Spark side and the DuckDB oracle build
+the same corpus, so expected dup pairs are known exactly.
+
+Scale notes: every op here is a shuffle-on-key plan (no cross join
+except where the pair count is provably bounded); MinHash bands turn
+the quadratic candidate space into |bands|·|docs| rows; the shingle
+self-join is bounded by shingle frequency (salt/AQE handle hot
+shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+JACCARD_THRESHOLD = 0.6
+N_MINHASH = 16
+BAND_SIZE = 4
+COSINE_DUP_THRESHOLD = 0.999
+SIMHASH_BITS = 64
+
+
+# ---------------------------------------------------------------------------
+# Derived corpora with known duplicates
+# ---------------------------------------------------------------------------
+
+
+def dup_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (id+10000, first token dropped)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(perturbed)
+
+
+def dup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies (id+10000)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.unionByName(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles_df(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles per document."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return corpus.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """All (doc_a < doc_b) pairs sharing >=1 shingle, with exact
+    Jaccard over distinct shingle sets."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-surface ops
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groupBy; emit duplicate groups with
+    the kept representative (min id)."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = corpus.unionByName(
+        corpus.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return (
+        corpus.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.6)."""
+    sh = shingles_df(dup_text_corpus(spark, sf_dir))
+    return _jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash): portable MinHash — the hash family is
+    md5(seed || '|' || shingle) compared lexicographically, so any
+    engine reproduces the signatures bit-for-bit."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    seeded = sh.select("doc_id", "sh", seeds)
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))).alias("mh")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 hashes, 4 bands of 4 rows;
+    candidates share >=1 band; verified with exact Jaccard >= 0.6.
+
+    The band join touches |docs|·4 rows — never the quadratic pair
+    space — which is the property that survives a 100× scale-up.
+    """
+    sh = shingles_df(dup_text_corpus(spark, sf_dir))
+    sig = minhash_signatures(sh)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD)
+    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_table(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash from xxhash64 token hashes —
+    per-bit majority vote expressed as 64 conditional sums (one
+    groupBy, all codegen). Spark-only (xxhash64 has no portable twin).
+    """
+    tok = corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band blocking, then Hamming
+    distance <= 6 verification. Spark-only (rows-only driver check)."""
+    corpus = dup_text_corpus(spark, sf_dir)
+    st = simhash_table(corpus)
+    bands = st.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.999 over the derived
+    corpus (each vector + its exact copy). Brute-force pair scan at
+    test scale; the LSH-bucketed scale path lives in
+    kgeng.textops.similarity."""
+    e = dup_embedding_corpus(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    en = e.select("vec_id", "v", norm.alias("nrm"))
+    a = en.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = en.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )

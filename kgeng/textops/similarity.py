@@ -1,0 +1,106 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the exactness
+  baseline, a crossJoin bounded by |queries|·|corpus|.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing — the scale path:
+  each vector lands in one 12-bit bucket; queries probe only their
+  bucket, so the pair space is |bucket| not |corpus|. The hyperplanes
+  are a deterministic ±1 pattern, so results are reproducible at any
+  parallelism.
+
+Dot products run as ``zip_with``/``aggregate`` expressions (JVM-side,
+no Python). Ranks order by the rounded score with id tie-breaks so
+both Spark and the DuckDB oracle sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10
+LSH_BITS = 12
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors (corpus = vec_id >= N_QUERIES) for each
+    query vector (vec_id < N_QUERIES)."""
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _lsh_bucket(v, bits: int = LSH_BITS):
+    """Deterministic random-hyperplane bucket: bit h = sign of
+    Σ_d v[d]·w(h,d) with w(h,d) = ((h·131 + d·17) % 2)·2 − 1."""
+    bucket = F.lit(0)
+    for h in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x * (((F.lit(h * 131) + d * 17) % 2) * 2 - 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**h)).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket. Recall is
+    traded for a pair space of |bucket|; exactness is checked against
+    ann_cosine_topk in tests (recall floor), not an oracle."""
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v"))).withColumn(
+        "bucket", _lsh_bucket(F.col("v"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

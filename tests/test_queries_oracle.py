@@ -33,7 +33,11 @@ def test_query_matches_oracle(spark, con, name):
 def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be oracle-less; keep the list explicit
-    allowed_missing: set[str] = set()
+    allowed_missing: set[str] = {
+        "dedup_simhash",  # xxhash64 bitwise kernel has no portable twin
+        "ann_lsh_topk",  # approximate; recall-checked vs exact top-k instead
+        "mm_features",  # mapInPandas feature extractor; rows-only check
+    }
     assert missing == allowed_missing, f"unexpected oracle-less queries: {missing}"
 
 
