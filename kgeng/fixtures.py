@@ -108,14 +108,17 @@ def canonical_of(k: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def page_sentence_specs(i: int) -> list[tuple[int, str, str, int]]:
+def page_sentence_specs(i: int, mult: int = 1) -> list[tuple[int, str, str, int]]:
     """The (subj_k, verb_phrase, biolink_pred, obj_k) list for page i.
 
     30% of pages lead with the hub entity 0 as subject — the hot-key
     analogue of the reference's NCBIGene:6868 hub
     (docs/cypher-cmds-1.txt:102) for skew/salting tests.
+
+    ``mult`` scales sentences-per-page (bench corpora use heavier
+    pages so per-page work approximates real web documents).
     """
-    n_sent = 1 + (i % 3)
+    n_sent = (1 + (i % 3)) * mult
     out = []
     for j in range(n_sent):
         if (i + j) % 10 < 3:
@@ -130,21 +133,21 @@ def page_sentence_specs(i: int) -> list[tuple[int, str, str, int]]:
     return out
 
 
-def page_sentences(i: int) -> list[str]:
+def page_sentences(i: int, mult: int = 1) -> list[str]:
     return [
         f"{entity_name(s).capitalize()} {verb} {entity_name(o)}."
-        for (s, verb, _p, o) in page_sentence_specs(i)
+        for (s, verb, _p, o) in page_sentence_specs(i, mult)
     ]
 
 
-def expected_triples(n_pages: int) -> set[tuple[str, str, str]]:
+def expected_triples(n_pages: int, mult: int = 1) -> set[tuple[str, str, str]]:
     """Golden (subject_curie, predicate, object_curie) set for the P/R
     check — already canonicalized, English pages only."""
     out: set[tuple[str, str, str]] = set()
     for i in range(n_pages):
         if page_lang(i) != "en":
             continue
-        for (s, _v, pred, o) in page_sentence_specs(i):
+        for (s, _v, pred, o) in page_sentence_specs(i, mult):
             out.add(
                 (
                     entity_curie(canonical_of(s)),
@@ -171,17 +174,21 @@ def page_lang(i: int) -> str:
     return "de" if i % 20 == 0 else "en"
 
 
-def page_text(i: int) -> str:
+def page_text(i: int, mult: int = 1) -> str:
     """The golden boilerplate-stripped extraction: one line per content
     paragraph, joined with a single newline."""
-    return "\n".join(page_sentences(i))
+    return "\n".join(page_sentences(i, mult))
 
 
-def page_html(i: int) -> bytes:
+def page_html(i: int, mult: int = 1, filler_kb: int = 0) -> bytes:
     paras = "".join(
         f"<p class=\"c{j}\">  {html_mod.escape(s)} </p>\n"
-        for j, s in enumerate(page_sentences(i))
+        for j, s in enumerate(page_sentences(i, mult))
     )
+    filler = ""
+    if filler_kb:
+        link = f"<a href=\"/nav/{i % 50}\" class=\"side\">related item</a> "
+        filler = '<div class="sidebar">' + link * (filler_kb * 1024 // len(link)) + "</div>"
     doc = (
         "<html><head>"
         f"<title>T{i}</title>"
@@ -191,6 +198,7 @@ def page_html(i: int) -> bytes:
         f"<nav>{_BOILER_NAV}</nav>"
         "<!-- comment <p>also not content</p> -->"
         f"<div id=\"main\">\n{paras}</div>"
+        f"{filler}"
         f"<footer>{_BOILER_FOOT}</footer>"
         "</body></html>"
     )
@@ -206,14 +214,14 @@ def page_warc_ts(i: int) -> datetime.datetime:
 # ---------------------------------------------------------------------------
 
 
-def write_pages(path: str, n_pages: int) -> str:
+def write_pages(path: str, n_pages: int, mult: int = 1, filler_kb: int = 0) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tbl = pa.table(
         {
             "url": pa.array([page_url(i) for i in range(n_pages)], pa.string()),
             "warc_ts": pa.array([page_warc_ts(i) for i in range(n_pages)], pa.timestamp("us")),
-            "html": pa.array([page_html(i) for i in range(n_pages)], pa.binary()),
-            "text": pa.array([page_text(i) for i in range(n_pages)], pa.string()),
+            "html": pa.array([page_html(i, mult, filler_kb) for i in range(n_pages)], pa.binary()),
+            "text": pa.array([page_text(i, mult) for i in range(n_pages)], pa.string()),
             "lang": pa.array([page_lang(i) for i in range(n_pages)], pa.string()),
         }
     )

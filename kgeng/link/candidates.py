@@ -1,20 +1,27 @@
 """Entity linking: candidate generation + TF-IDF cosine ranking.
 
-All pure DataFrame algebra — the TF-IDF pipeline is expressed as
-explode/groupBy/join instead of Spark-ML vector UDTs so every stage
-stays inside Catalyst (column pruning, broadcast selection, AQE) and
-nothing crosses into Python.
+All pure DataFrame algebra — no Spark-ML vector UDTs, no Python — so
+every stage stays inside Catalyst (column pruning, broadcast
+selection, AQE).
 
-Candidate generation is an equi-join of normalized surfaces against
-the exploded alias dictionary. Ranking scores each (surface, curie)
-pair with
+Plan shape (kept deliberately shallow — ~5 shuffles total — because
+the dictionary side is a dimension-sized computation that should never
+dominate the corpus-sized probe):
 
-    score = exact_label_bonus + dot(tfidf(surface), tfidf(profile)) / |profile|
+1. explode dictionary profiles -> per-(curie, token) counts   [shuffle]
+2. document frequencies -> idf                                [shuffle]
+3. entity weight maps: curie -> map<token, w> + norm          [shuffle]
+4. surface token weights re-collected per surface             [shuffle]
+5. candidates (surface × exploded alias, broadcast) scored with an
+   inline map-lookup dot product; window rank per surface     [shuffle]
 
-where the entity profile is label + aliases. The surface-side norm is
-constant within a surface group, so dividing by it cannot change the
-ranking — it is omitted. Ties break on curie ascending, so linking is
-deterministic.
+Scoring: ``score = exact_label_bonus + dot(w_s, w_e) / |w_e|`` with
+``w = token_count · idf``. Per-document tf normalization is omitted on
+purpose: dividing ``w_e`` by profile length rescales ``dot`` and
+``|w_e|`` identically, and dividing ``w_s`` rescales every candidate
+of a surface equally — neither changes any ranking, so the plan drops
+two shuffles by not computing totals. Ties break on curie ascending,
+so linking is deterministic.
 """
 
 from __future__ import annotations
@@ -26,18 +33,6 @@ from pyspark.sql import functions as F
 def normalize_col(col):
     """Spark twin of kgeng.extract.mentions.normalize_surface."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
-
-
-def _tokens(df: DataFrame, id_col: str, doc_col: str) -> DataFrame:
-    """(id, doc) -> (id, token, tf) with tf = in-doc term frequency."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(normalize_col(F.col(doc_col)), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    counts = tok.groupBy(id_col, "token").agg(F.count("*").alias("n"))
-    totals = counts.groupBy(id_col).agg(F.sum("n").alias("total"))
-    return counts.join(totals, id_col).select(
-        id_col, "token", (F.col("n") / F.col("total")).alias("tf")
-    )
 
 
 def candidate_pairs(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
@@ -55,48 +50,98 @@ def candidate_pairs(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
     ).select("surface_norm", "curie")
 
 
-def rank_candidates(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """-> (surface_norm, curie, score, rank) with rank=1 the chosen
-    link for each surface."""
-    cands = candidate_pairs(surfaces, dictionary)
+def build_link_dims(dictionary: DataFrame) -> dict[str, DataFrame]:
+    """Dictionary-side (corpus-independent) linking tables — computable
+    before/concurrently with extraction:
 
+    - ``alias_map``: (alias_norm, curie) exploded surface forms
+    - ``idf``:       (token, idf) over entity profiles
+    - ``ent``:       (curie, w_map map<token,w>, norm_e)
+    - ``labels``:    (curie, label_norm) for the exact-label bonus
+    """
+    n_ents = dictionary.count()
     profiles = dictionary.select(
         "curie",
         F.concat_ws(" ", F.col("label"), F.array_join(F.col("aliases"), " ")).alias("doc"),
     )
-    ent_w = _tokens(profiles, "curie", "doc")
-    n_ents = dictionary.select("curie").distinct().count()
-    df_t = ent_w.groupBy("token").agg(F.countDistinct("curie").alias("df"))
-    idf = df_t.select(
-        "token", (F.log((F.lit(n_ents) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    tok_e = (
+        profiles.select(
+            "curie", F.explode(F.split(normalize_col(F.col("doc")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("curie", "token")
+        .agg(F.count("*").alias("cnt"))
     )
-    ent_w = ent_w.join(idf, "token").select(
-        "curie", "token", (F.col("tf") * F.col("idf")).alias("w_e")
+    idf = tok_e.groupBy("token").agg(
+        (F.log((F.lit(n_ents) + 1.0) / (F.countDistinct("curie") + 1.0)) + 1.0).alias("idf")
     )
-    ent_norm = ent_w.groupBy("curie").agg(F.sqrt(F.sum(F.col("w_e") ** 2)).alias("norm_e"))
-
-    surf_docs = surfaces.select("surface_norm").distinct().withColumn("doc", F.col("surface_norm"))
-    surf_w = _tokens(surf_docs, "surface_norm", "doc").join(idf, "token").select(
-        "surface_norm", "token", (F.col("tf") * F.col("idf")).alias("w_s")
+    ent = (
+        tok_e.join(idf, "token")
+        .withColumn("w", F.col("cnt") * F.col("idf"))
+        .groupBy("curie")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("token", "w"))).alias("w_map"),
+            F.sqrt(F.sum(F.col("w") ** 2)).alias("norm_e"),
+        )
     )
-
-    dots = (
-        cands.join(surf_w, "surface_norm")
-        .join(ent_w, ["curie", "token"])
-        .groupBy("surface_norm", "curie")
-        .agg(F.sum(F.col("w_s") * F.col("w_e")).alias("dot"))
+    alias_map = (
+        dictionary.select("curie", F.explode("aliases").alias("alias"))
+        .select("curie", normalize_col(F.col("alias")).alias("alias_norm"))
+        .distinct()
     )
-
     labels = dictionary.select("curie", normalize_col(F.col("label")).alias("label_norm"))
+    return {"alias_map": alias_map, "idf": idf, "ent": ent, "labels": labels}
+
+
+def rank_candidates(
+    surfaces: DataFrame,
+    dictionary: DataFrame | None = None,
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """-> (surface_norm, curie, score, rank) with rank=1 the chosen
+    link for each surface. Pass precomputed ``dims`` (from
+    :func:`build_link_dims`, possibly read back from parquet) to skip
+    the dictionary-side computation at probe time."""
+    if dims is None:
+        if dictionary is None:
+            raise ValueError("need dictionary or dims")
+        dims = build_link_dims(dictionary)
+    idf, ent, labels = dims["idf"], dims["ent"], dims["labels"]
+
+    # surface token weights, re-collected per surface (surfaces are
+    # short strings; the explode is 1-3 rows each)
+    surf = (
+        surfaces.select("surface_norm")
+        .distinct()
+        .select("surface_norm", F.explode(F.split(F.col("surface_norm"), " ")).alias("token"))
+        .groupBy("surface_norm", "token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(idf), "token", "left")
+        .withColumn("w", F.col("cnt") * F.coalesce(F.col("idf"), F.lit(0.0)))
+        .groupBy("surface_norm")
+        .agg(F.collect_list(F.struct("token", "w")).alias("s_toks"))
+    )
+
+    # candidates scored with inline map-lookup dot product
+    cands = surfaces.select("surface_norm").distinct().join(
+        F.broadcast(dims["alias_map"]),
+        F.col("surface_norm") == F.col("alias_norm"),
+    ).select("surface_norm", "curie")
+    dot = F.aggregate(
+        F.col("s_toks"),
+        F.lit(0.0),
+        lambda acc, st: acc
+        + st["w"] * F.coalesce(F.element_at(F.col("w_map"), st["token"]), F.lit(0.0)),
+    )
     scored = (
-        cands.join(dots, ["surface_norm", "curie"], "left")
+        cands.join(surf, "surface_norm")
+        .join(F.broadcast(ent), "curie")
         .join(F.broadcast(labels), "curie")
-        .join(F.broadcast(ent_norm), "curie")
         .select(
             "surface_norm",
             "curie",
             (
-                F.coalesce(F.col("dot") / F.col("norm_e"), F.lit(0.0))
+                dot / F.col("norm_e")
                 + F.when(F.col("surface_norm") == F.col("label_norm"), 1.0).otherwise(0.0)
             ).alias("score"),
         )
@@ -105,15 +150,21 @@ def rank_candidates(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w))
 
 
-def link_map(surfaces: DataFrame, dictionary: DataFrame) -> DataFrame:
+def link_map(
+    surfaces: DataFrame,
+    dictionary: DataFrame | None = None,
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """-> (surface_norm, curie): the winning link per surface."""
-    return rank_candidates(surfaces, dictionary).filter(F.col("rank") == 1).select(
+    return rank_candidates(surfaces, dictionary, dims).filter(F.col("rank") == 1).select(
         "surface_norm", "curie"
     )
 
 
 def link_triples(
-    triples: DataFrame, dictionary: DataFrame
+    triples: DataFrame,
+    dictionary: DataFrame | None = None,
+    dims: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """triples(url, subject_surface, predicate, object_surface) ->
     (linked(url, subject_curie, predicate, object_curie), unlinked).
@@ -122,12 +173,18 @@ def link_triples(
     side-channel (the linking twin of J2's join-miss drop,
     ``Kuzu/kuzu_build_graph_csv.py:342-347``).
     """
-    surfaces = (
-        triples.select(normalize_col(F.col("subject_surface")).alias("surface_norm"))
-        .unionByName(triples.select(normalize_col(F.col("object_surface")).alias("surface_norm")))
-        .distinct()
-    )
-    lm = F.broadcast(link_map(surfaces, dictionary))
+    # one corpus scan: both endpoint surfaces in one explode
+    surfaces = triples.select(
+        F.explode(
+            F.array(
+                normalize_col(F.col("subject_surface")),
+                normalize_col(F.col("object_surface")),
+            )
+        ).alias("surface_norm")
+    ).distinct()
+    # materialize the (small) link map once; both output branches reuse it
+    lm = link_map(surfaces, dictionary, dims).localCheckpoint(eager=True)
+    lm = F.broadcast(lm)
     t = triples.withColumn("s_norm", normalize_col(F.col("subject_surface"))).withColumn(
         "o_norm", normalize_col(F.col("object_surface"))
     )

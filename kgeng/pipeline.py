@@ -29,16 +29,30 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import glob
+import os
+
+import pyarrow.parquet as pq
+
 from kgeng.canon.cc import canonical_map
 from kgeng.extract.text import extracted_text
 from kgeng.extract.triples import extract_triples
 from kgeng.graph.build import reorder_categories
 from kgeng.io.lineage import LineageLog, fingerprint_paths
 from kgeng.io.sinks import write_partitioned
-from kgeng.link.candidates import link_triples
+from kgeng.link.candidates import build_link_dims, link_triples
 
 SALT_BUCKETS = 16
 MAX_PUBLICATIONS = 10
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job, no data scan
+    (lineage row counts shouldn't cost a cluster pass)."""
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
 
 
 class Pipeline:
@@ -61,7 +75,7 @@ class Pipeline:
         t0 = time.time()
         df = build()
         write_partitioned(df, out_path, partition_by=partition_by)
-        n = self.spark.read.parquet(out_path).count()
+        n = _parquet_rows(out_path)
         m = {"rows": n, "seconds": round(time.time() - t0, 3)}
         self.log.commit(name, fp, n, out_path, metrics=m)
         self.metrics[name] = {"skipped": False, **m}
@@ -74,7 +88,13 @@ class Pipeline:
     def stage_extract_text(self) -> str:
         def build():
             pages = self.spark.read.parquet(self.pages_path)
-            return pages.select(
+            # Highly compressible corpora can land in far fewer input
+            # splits than cores (maxPartitionBytes is a byte budget, not
+            # a row budget) — spread the UDF stage across the cluster
+            # explicitly. On Iceberg this is bucket(url_hash) at the
+            # table layout level instead.
+            target = self.spark.sparkContext.defaultParallelism * 2
+            return pages.repartition(target, "url").select(
                 "url", "lang", extracted_text(F.col("html")).alias("text")
             )
 
@@ -87,22 +107,54 @@ class Pipeline:
 
         return self._stage("triples", [text_path], build)
 
-    def stage_link(self, triples_path: str) -> str:
+    def stage_link_dims(self) -> str:
+        """Materialize the corpus-independent linking tables (alias
+        map, idf, entity weight maps, labels). Runs concurrently with
+        extraction — it only needs the dictionary."""
+        out_path = f"{self.out}/link_dims"
+        fp = fingerprint_paths(self.dict_path, extra="link_dims")
+        prior = self.log.committed("link_dims", fp)
+        if prior is not None:
+            self.metrics["link_dims"] = {"skipped": True, **prior["metrics"]}
+            return out_path
+        t0 = time.time()
+        dictionary = self.spark.read.parquet(self.dict_path)
+        dims = build_link_dims(dictionary)
+        for name, df in dims.items():
+            write_partitioned(df, f"{out_path}/{name}")
+        m = {"rows": _parquet_rows(out_path), "seconds": round(time.time() - t0, 3)}
+        self.log.commit("link_dims", fp, m["rows"], out_path, metrics=m)
+        self.metrics["link_dims"] = {"skipped": False, **m}
+        return out_path
+
+    def stage_link(self, triples_path: str, dims_path: str) -> str:
         def build():
             triples = self._read(triples_path)
-            dictionary = self.spark.read.parquet(self.dict_path)
-            linked, unlinked = link_triples(triples, dictionary)
+            dims = {
+                name: self._read(f"{dims_path}/{name}")
+                for name in ("alias_map", "idf", "ent", "labels")
+            }
+            linked, unlinked = link_triples(triples, dims=dims)
             # persist the miss side-channel next to the stage output
             write_partitioned(unlinked, f"{self.out}/link_misses")
             return linked
 
-        return self._stage("link", [triples_path, self.dict_path], build)
+        return self._stage("link", [triples_path, dims_path], build)
 
-    def stage_canon(self, linked_path: str) -> str:
+    def stage_canon_map(self) -> str:
+        """Materialize the canonical map once (CC over the dictionary);
+        both the canon rewrite and materialize reuse the snapshot."""
+
+        def build():
+            dictionary = self.spark.read.parquet(self.dict_path)
+            return canonical_map(dictionary)
+
+        return self._stage("canon_map", [self.dict_path], build)
+
+    def stage_canon(self, linked_path: str, cmap_path: str) -> str:
         def build():
             linked = self._read(linked_path)
-            dictionary = self.spark.read.parquet(self.dict_path)
-            cmap = F.broadcast(canonical_map(dictionary))
+            cmap = F.broadcast(self._read(cmap_path))
             s_map = cmap.withColumnRenamed("curie", "subject_curie").withColumnRenamed(
                 "canonical_curie", "subject_canon"
             )
@@ -120,9 +172,9 @@ class Pipeline:
                 )
             )
 
-        return self._stage("canon", [linked_path, self.dict_path], build)
+        return self._stage("canon", [linked_path, cmap_path], build)
 
-    def stage_materialize(self, canon_path: str) -> tuple[str, str]:
+    def stage_materialize(self, canon_path: str, cmap_path: str) -> tuple[str, str]:
         canon_df_path = canon_path
         edges_out = f"{self.out}/edges"
         nodes_out = f"{self.out}/nodes"
@@ -134,7 +186,7 @@ class Pipeline:
         t0 = time.time()
         triples = self._read(canon_df_path)
         dictionary = self.spark.read.parquet(self.dict_path)
-        cmap = F.broadcast(canonical_map(dictionary))
+        cmap = F.broadcast(self._read(cmap_path))
 
         # -- edges: two-phase salted aggregation over the hub-skewed key
         salted = triples.withColumn(
@@ -205,10 +257,9 @@ class Pipeline:
         )
         write_partitioned(nodes, nodes_out, partition_by=["node_class"])
 
-        nodes_df = self._read(nodes_out)
-        edges_df = self._read(edges_out)
-        n_nodes, n_edges = nodes_df.count(), edges_df.count()
+        n_nodes, n_edges = _parquet_rows(nodes_out), _parquet_rows(edges_out)
         # PRIMARY KEY analogue: id-uniqueness audit (SURVEY.md §2.9)
+        nodes_df = self._read(nodes_out)
         dup_ids = nodes_df.groupBy("id").count().filter(F.col("count") > 1).count()
         if dup_ids:
             raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
@@ -219,15 +270,32 @@ class Pipeline:
 
     # -- driver ---------------------------------------------------------
     def run(self) -> dict:
+        import threading
+
+        t0 = time.time()
+        # dictionary-side prep (CC canonical map + linking dims) is
+        # independent of the pages corpus — overlap it with extraction.
+        # Spark schedules jobs from both threads concurrently (FIFO
+        # across free task slots).
+        side: dict[str, str] = {}
+
+        def dict_side():
+            side["dims"] = self.stage_link_dims()
+            side["cmap"] = self.stage_canon_map()
+
+        th = threading.Thread(target=dict_side, daemon=True)
+        th.start()
         text_path = self.stage_extract_text()
         triples_path = self.stage_triples(text_path)
-        linked_path = self.stage_link(triples_path)
-        canon_path = self.stage_canon(linked_path)
-        nodes_out, edges_out = self.stage_materialize(canon_path)
+        th.join()
+        linked_path = self.stage_link(triples_path, side["dims"])
+        canon_path = self.stage_canon(linked_path, side["cmap"])
+        nodes_out, edges_out = self.stage_materialize(canon_path, side["cmap"])
         return {
             "nodes": nodes_out,
             "edges": edges_out,
             "triples": canon_path,
+            "total_seconds": round(time.time() - t0, 3),
             "metrics": self.metrics,
         }
 
@@ -249,7 +317,9 @@ def main() -> None:
 
     spark = get_spark("kgeng-pipeline", cpus=args.cpus)
     result = run_pipeline(spark, args.pages, args.dictionary, args.out)
-    print(result)
+    import json
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard conf.
 
@@ -29,11 +30,18 @@ def get_spark(
     (every pandas UDF crosses the JVM/Python boundary in columnar
     batches), and the session timezone is pinned to UTC so results are
     comparable with the DuckDB oracle.
+
+    ``master`` defaults to ``local[cpus]``; pass e.g.
+    ``local-cluster[4,8,8192]`` for a multi-executor-JVM run — the
+    kgeng zip (built on demand) ships to executors via
+    ``spark.submit.pyFiles``, same as a real ``spark-submit
+    --py-files`` deployment.
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    master = master or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,11 +49,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("KGENG_DRIVER_MEM", "8g"))
+        # 2k-row Arrow batches: bounded per-worker buffering for fat
+        # binary columns (html), steadier flow control at high task
+        # concurrency
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # Spark 4.1's unix-domain-socket python workers stall under
+        # high local task concurrency (measured: 32-thread pandas-UDF
+        # stage 72s -> 3s with TCP loopback); keep classic sockets
+        .config("spark.python.unix.domain.socket.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("KGENG_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        from kgeng.package import build_zip
+
+        builder = builder.config("spark.submit.pyFiles", build_zip())
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("KGENG_EXECUTOR_MEM", "5g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

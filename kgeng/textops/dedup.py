@@ -135,11 +135,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """(doc_id, seed, minhash): portable MinHash — the hash family is
     md5(seed || '|' || shingle) compared lexicographically, so any
-    engine reproduces the signatures bit-for-bit."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    seeded = sh.select("doc_id", "sh", seeds)
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))).alias("mh")
+    engine reproduces the signatures bit-for-bit.
+
+    Plan note: one groupBy with ``n_hashes`` min-aggregates instead of
+    exploding seeds (which would multiply the shuffle by 16×) — the
+    map-side partial min collapses each partition to |docs| rows
+    before the exchange. The (seed, mh) long form is restored after
+    the agg for the banding step.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("mh"))
+            for s in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.mh").alias("mh")
     )
 
 
