@@ -229,6 +229,75 @@ def write_pages(path: str, n_pages: int, mult: int = 1, filler_kb: int = 0) -> s
     return path
 
 
+def write_kgx_csv(out_dir: str, n_nodes: int = 200, n_edges: int = 600) -> dict[str, str]:
+    """Reference-shaped KGX CSV fixture (FIXTURES.md §2): node/edge CSV
+    files with ``;``-packed array cells plus tab-delimited typed header
+    files, exercising the typed-header scan (S4), packed-array split
+    (F1), float-string int cells (F2), join-miss drops (~2% dangling
+    object refs), hub skew (30% of edges hit node 0), and small
+    subclass trees.
+    """
+    import csv
+
+    os.makedirs(out_dir, exist_ok=True)
+    node_hdr = "id:ID\tname:string\tcategory:LABEL\tequivalent_identifiers:string[]\tdescription:string\tlipinski:int\trobokop_variant_id:string"
+    edge_hdr = "subject:START_ID\tpredicate:TYPE\tobject:END_ID\tprimary_knowledge_source:string\tpublications:string[]\tp_value:float[]\tdistance_to_feature:int\tknowledge_level:string"
+    paths = {
+        "nodes_csv": os.path.join(out_dir, "nodes.csv"),
+        "nodes_hdr": os.path.join(out_dir, "nodes.tab-hdr"),
+        "edges_csv": os.path.join(out_dir, "edges.csv"),
+        "edges_hdr": os.path.join(out_dir, "edges.tab-hdr"),
+    }
+    with open(paths["nodes_hdr"], "w", encoding="utf-8") as fh:
+        fh.write(node_hdr + "\n")
+    with open(paths["edges_hdr"], "w", encoding="utf-8") as fh:
+        fh.write(edge_hdr + "\n")
+    with open(paths["nodes_csv"], "w", newline="", encoding="utf-8") as fh:
+        w = csv.writer(fh)
+        w.writerow([t.split(":")[0] for t in node_hdr.split("\t")])
+        for k in range(n_nodes):
+            cats = list(entity_categories(k))
+            if k % 10 == 0:
+                cats.append(cats[0])  # duplicate class -> O1 dedup path
+            w.writerow(
+                [
+                    entity_curie(k),
+                    entity_name(k),
+                    ";".join(cats),
+                    ";".join(entity_equivalent_identifiers(k)),
+                    f"desc, with 'quote' and é {k}",
+                    f"{k % 7}.0",  # float-string int cell (F2)
+                    "" if k % 5 else f"rkv:{k}",
+                ]
+            )
+    preds = ["biolink:affects", "biolink:treats", "biolink:subclass_of", "biolink:has_phenotype", "biolink:regulates"]
+    with open(paths["edges_csv"], "w", newline="", encoding="utf-8") as fh:
+        w = csv.writer(fh)
+        w.writerow([t.split(":")[0] for t in edge_hdr.split("\t")])
+        for i in range(n_edges):
+            subj = entity_curie(0 if i % 10 < 3 else (i * 7) % n_nodes)
+            pred = preds[i % 5]
+            if i % 50 == 49:  # ~2% dangling object -> join-drop path (J2)
+                obj = f"MOCK:{n_nodes + i:05d}"
+            elif pred == "biolink:subclass_of":
+                obj = entity_curie((i * 7) % n_nodes // 2)  # shallow trees
+            else:
+                obj = entity_curie((i * 11 + 1) % n_nodes)
+            w.writerow(
+                [
+                    subj,
+                    pred,
+                    obj,
+                    f"infores:mock{i % 3}",
+                    f"PMID:{i};PMID:{i + 1}",
+                    "0.001;0.05",
+                    f"{i % 100}.0",
+                    "knowledge_assertion" if i % 4 else "",
+                ]
+            )
+    return paths
+
+
 def write_dictionary(path: str) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tbl = pa.table(

@@ -1,0 +1,185 @@
+"""The reference's 5-stage bulk-load pipeline (CONVERT / CREATE_LUS /
+BIN / CREATE_TABLES / IMPORT — ``Kuzu/kuzu_build_graph_csv.py:621-753``)
+re-expressed as one Spark job graph.
+
+Stage mapping (SURVEY.md §3 E1):
+
+| reference stage | here |
+|---|---|
+| CONVERT: per-file pandas rename/reorder/listformat/coerce | ``convert_nodes`` / ``convert_edges`` (pure expressions over the typed-header scan) |
+| CREATE_LUS: in-heap id->class dict + predicate->(s,o) class set, pickled | ``node_class_lookup`` + ``predicate_class_pairs`` DataFrames, snapshotted as parquet |
+| BIN: per-class / per-(pred, s_cls, o_cls) CSV fan-out | one dynamic-partition write each |
+| CREATE_TABLES: DDL strings per class / predicate | ``generate_node_ddl`` / ``generate_rel_ddl`` |
+| IMPORT: COPY per bin file | ``import_statements`` (COPY manifest) — on Spark the bins ARE the tables; the manifest exists for drive-the-same-DB parity |
+
+The reference reruns stages via pickle checkpoints; here each stage is
+a parquet snapshot, so a rerun is just re-reading (kgeng.io.lineage
+adds fingerprint-gated skipping in the main pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgeng.graph.build import (
+    node_class_lookup,
+    predicate_class_pairs,
+    reorder_categories,
+    resolve_edge_classes,
+)
+from kgeng.io.sources import read_kgx_csv
+from kgeng.schemas import sanitize_column_name
+
+# header tag -> Kuzu-side DDL type (the reference's lattice,
+# Kuzu/kuzu_build_graph_csv.py:518-532)
+_DDL_TYPES = {
+    "string": "STRING",
+    "id": "STRING",
+    "start_id": "STRING",
+    "end_id": "STRING",
+    "type": "STRING",
+    "label": "STRING[]",
+    "boolean": "BOOLEAN",
+    "float": "FLOAT",
+    "int": "INT64",
+    "float[]": "FLOAT[]",
+    "string[]": "STRING[]",
+}
+
+
+def convert_nodes(nodes: DataFrame, drop_cols: list[str] | None = None) -> DataFrame:
+    """CONVERT (nodes): priority-reorder the category array (O1),
+    rename ``category -> labels`` (P1), drop configured columns (P3).
+    Array split / int coercion already happened in the typed scan."""
+    out = nodes.withColumn("category", reorder_categories(F.col("category")))
+    out = out.withColumnRenamed("category", "labels")
+    for c in drop_cols or []:
+        out = out.drop(c)
+    return out
+
+
+def convert_edges(edges: DataFrame, drop_cols: list[str] | None = None) -> DataFrame:
+    """CONVERT (edges): duplicate subject/object into leading
+    ``from``/``to`` columns (P2 — the loader requires them first),
+    rename ``predicate -> label`` (P1)."""
+    rest = [c for c in edges.columns if c not in ("subject", "object")]
+    out = edges.select(
+        F.col("subject").alias("from"), F.col("object").alias("to"), *rest
+    ).withColumnRenamed("predicate", "label")
+    for c in drop_cols or []:
+        out = out.drop(c)
+    return out
+
+
+def generate_node_ddl(classes: list[str], tags: dict[str, str]) -> list[str]:
+    """CREATE_TABLES (nodes): one ``CREATE NODE TABLE`` per primary
+    class (ref ``:414``), columns from the typed header, PRIMARY
+    KEY(id)."""
+    cols = ", ".join(
+        f"{sanitize_column_name(name)} {_DDL_TYPES[tag]}" for name, tag in tags.items()
+    )
+    return [
+        f"CREATE NODE TABLE `{cls}`({cols}, PRIMARY KEY (id))" for cls in sorted(classes)
+    ]
+
+
+def generate_rel_ddl(pred_pairs: dict[str, list[tuple[str, str]]], tags: dict[str, str]) -> list[str]:
+    """CREATE_TABLES (edges): one ``CREATE REL TABLE`` per predicate
+    with every observed (subject_class, object_class) as a FROM/TO
+    pair (ref ``:432-435``)."""
+    prop_cols = ", ".join(
+        f"{sanitize_column_name(name)} {_DDL_TYPES[tag]}"
+        for name, tag in tags.items()
+        if tag not in ("start_id", "end_id", "type")
+    )
+    out = []
+    for pred in sorted(pred_pairs):
+        fromto = ", ".join(
+            f"FROM `{s}` TO `{o}`" for s, o in sorted(pred_pairs[pred])
+        )
+        out.append(f"CREATE REL TABLE `{pred}`({fromto}, {prop_cols})")
+    return out
+
+
+def import_statements(bin_root: str, classes: list[str], predicates: list[str]) -> list[str]:
+    """IMPORT: the COPY manifest (ref ``:571,607`` — edges tolerate
+    malformed rows via IGNORE_ERRORS; Spark's PERMISSIVE read is the
+    equivalent on the way in)."""
+    stmts = [
+        f"COPY `{cls}` FROM '{bin_root}/nodes/node_class={cls}/*' (HEADER=true, DELIMITER=',')"
+        for cls in sorted(classes)
+    ]
+    stmts += [
+        f"COPY `{p}` FROM '{bin_root}/edges/predicate={p}/*' (HEADER=true, DELIMITER=',', IGNORE_ERRORS=true)"
+        for p in sorted(predicates)
+    ]
+    return stmts
+
+
+def run_refbuild(
+    spark: SparkSession,
+    nodes_csv: str,
+    nodes_hdr: str,
+    edges_csv: str,
+    edges_hdr: str,
+    out_dir: str,
+) -> dict:
+    """The full 5-stage build. Returns stage artifacts + audit counts."""
+    from kgeng.schemas import read_typed_header_file
+
+    _, node_tags = read_typed_header_file(nodes_hdr)
+    _, edge_tags = read_typed_header_file(edges_hdr)
+
+    # CONVERT
+    nodes_raw = read_kgx_csv(spark, nodes_csv, nodes_hdr)
+    edges_raw = read_kgx_csv(spark, edges_csv, edges_hdr)
+    nodes = convert_nodes(nodes_raw)
+
+    # CREATE_LUS — the lookup "dict" is a DataFrame; snapshot it
+    lookup = node_class_lookup(
+        nodes.withColumnRenamed("labels", "category"), reorder=False
+    )
+    lookup.write.mode("overwrite").parquet(f"{out_dir}/lookups/node_classes")
+    lookup = spark.read.parquet(f"{out_dir}/lookups/node_classes")
+    resolved, dropped = resolve_edge_classes(edges_raw, lookup, broadcast_lookup=True)
+    pairs_df = predicate_class_pairs(resolved)
+    pairs_df.write.mode("overwrite").parquet(f"{out_dir}/lookups/edge_predicates")
+    pairs = {
+        r["predicate"]: [(p["subject_class"], p["object_class"]) for p in r["class_pairs"]]
+        for r in spark.read.parquet(f"{out_dir}/lookups/edge_predicates").collect()
+    }
+
+    # BIN — dynamic-partition fan-out (S6)
+    binned_nodes = nodes.withColumn("node_class", F.get(F.col("labels"), 0))
+    from kgeng.io.sources import write_kgx_csv
+
+    write_kgx_csv(
+        binned_nodes.repartition("node_class"), f"{out_dir}/bins/nodes_flat"
+    )  # flat CSV parity sink
+    binned_nodes.write.mode("overwrite").partitionBy("node_class").parquet(
+        f"{out_dir}/bins/nodes"
+    )
+    converted_edges = convert_edges(resolved)
+    converted_edges.write.mode("overwrite").partitionBy(
+        "label", "subject_class", "object_class"
+    ).parquet(f"{out_dir}/bins/edges")
+
+    # CREATE_TABLES + IMPORT manifests
+    classes = sorted(
+        r["node_class"] for r in binned_nodes.select("node_class").distinct().collect()
+    )
+    node_ddl = generate_node_ddl(classes, node_tags)
+    rel_ddl = generate_rel_ddl(pairs, edge_tags)
+    copy_manifest = import_statements(f"{out_dir}/bins", classes, sorted(pairs))
+
+    return {
+        "classes": classes,
+        "predicate_pairs": pairs,
+        "node_ddl": node_ddl,
+        "rel_ddl": rel_ddl,
+        "copy_manifest": copy_manifest,
+        "nodes": binned_nodes,
+        "edges": converted_edges,
+        "dropped_edges": dropped,
+    }

@@ -1,0 +1,54 @@
+"""Physical-plan quality gates: filters reach the parquet scan, small
+sides broadcast, hot paths stay in whole-stage codegen, scans prune
+columns. These are the properties that survive a 100× scale-up."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from kgeng.queries.corpus import (
+    kg_two_hop_closure,
+    q_pricing_summary,
+    q_revenue_by_nation,
+)
+from kgeng.textops.analysis import doc_token_stats
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(q_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(q_revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    plan2 = plan_of(kg_two_hop_closure(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan2, plan2
+
+
+def test_whole_stage_codegen(spark):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_pricing_summary(spark, SF_DIR).explain(mode="codegen")
+    plan = buf.getvalue()
+    assert "WholeStageCodegen" in plan
+    assert "Found" in plan  # "Found N WholeStageCodegen subtrees"
+
+
+def test_column_pruning(spark):
+    plan = plan_of(doc_token_stats(spark, SF_DIR))
+    # the scan must read only (doc_id, text); lang/source/n_chars pruned
+    assert "doc_id" in plan and "text" in plan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema and "lang" not in scan_schema[0] and "source" not in scan_schema[0], scan_schema
