@@ -57,15 +57,55 @@ def _curie(prefix: str, key) -> F.Column:
     return F.concat(F.lit(prefix + ":"), F.col(key).cast("string"))
 
 
+NODE_PREFIX_SOURCES = {
+    "CUST": ("customer", "c_custkey"),
+    "SUPP": ("supplier", "s_suppkey"),
+    "PART": ("part", "p_partkey"),
+    "NATN": ("nation", "n_nationkey"),
+    "REGN": ("region", "r_regionkey"),
+    "ORDR": ("orders", "o_orderkey"),
+}
+
+
+def kg_node_by_id(spark: SparkSession, sf_dir: str, node_id: str) -> DataFrame:
+    """Point lookup with CURIE-prefix routing: the id is a
+    ``concat(prefix, key)`` derivation Catalyst cannot invert, so the
+    router picks the single backing source and pushes the raw-key
+    filter into its parquet scan — the manual twin of partition
+    pruning (on Iceberg this is an identity-partition prune).
+    Returns rows in the full node schema; empty if the prefix has no
+    source or the key misses."""
+    prefix = node_id.split(":", 1)[0]
+    if prefix not in NODE_PREFIX_SOURCES or not node_id.split(":", 1)[1].isdigit():
+        return kg_nodes(spark, sf_dir).filter(F.col("id") == node_id)
+    table, key_col = NODE_PREFIX_SOURCES[prefix]
+    key = int(node_id.split(":", 1)[1])
+    src = read_table(spark, sf_dir, table).filter(F.col(key_col) == key)
+    return _nodes_from_sources(spark, sf_dir, {table: src}).filter(F.col("id") == node_id)
+
+
 def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of all node sources in the target node schema
     ``(id, name, category, equivalent_identifiers)``."""
-    cust = read_table(spark, sf_dir, "customer")
-    supp = read_table(spark, sf_dir, "supplier")
-    part = read_table(spark, sf_dir, "part")
-    natn = read_table(spark, sf_dir, "nation")
-    regn = read_table(spark, sf_dir, "region")
-    ordr = read_table(spark, sf_dir, "orders")
+    return _nodes_from_sources(spark, sf_dir, {})
+
+
+def _nodes_from_sources(
+    spark: SparkSession, sf_dir: str, overrides: dict[str, DataFrame]
+) -> DataFrame:
+    """Build the node view; ``overrides`` replaces named backing tables
+    (used by the point-lookup router to inject pre-filtered scans).
+    When overrides are present, only the overridden sources are
+    unioned — the router guarantees the id cannot live elsewhere."""
+    def get(name: str) -> DataFrame:
+        return overrides.get(name) if name in overrides else read_table(spark, sf_dir, name)
+
+    cust = get("customer")
+    supp = get("supplier")
+    part = get("part")
+    natn = get("nation")
+    regn = get("region")
+    ordr = get("orders")
 
     seg_cat = None
     for seg, cats in SEGMENT_CATEGORIES.items():
@@ -82,22 +122,32 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     brands = part.select(F.col("p_brand")).distinct()
-    return (
-        node(cust, _curie("CUST", "c_custkey"), F.col("c_name"), seg_cat)
-        .unionByName(node(supp, _curie("SUPP", "s_suppkey"), F.col("s_name"),
-                          _lit_arr(["biolink:NamedThing", "biolink:Activity"])))
-        .unionByName(node(part, _curie("PART", "p_partkey"), F.col("p_name"),
-                          _lit_arr(["biolink:ChemicalEntity", "biolink:SmallMolecule", "biolink:NamedThing"])))
-        .unionByName(node(brands, _curie("BRND", "p_brand"), F.col("p_brand"),
-                          _lit_arr(["biolink:GeneFamily", "biolink:NamedThing"])))
-        .unionByName(node(natn, _curie("NATN", "n_nationkey"), F.col("n_name"),
-                          _lit_arr(["biolink:AnatomicalEntity", "biolink:NamedThing"])))
-        .unionByName(node(regn, _curie("REGN", "r_regionkey"), F.col("r_name"),
-                          _lit_arr(["biolink:BiologicalEntity", "biolink:NamedThing"])))
-        .unionByName(node(ordr, _curie("ORDR", "o_orderkey"),
-                          F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")),
-                          _lit_arr(["biolink:InformationContentEntity", "biolink:NamedThing"])))
-    )
+    branches = {
+        "customer": node(cust, _curie("CUST", "c_custkey"), F.col("c_name"), seg_cat),
+        "supplier": node(supp, _curie("SUPP", "s_suppkey"), F.col("s_name"),
+                         _lit_arr(["biolink:NamedThing", "biolink:Activity"])),
+        "part": node(part, _curie("PART", "p_partkey"), F.col("p_name"),
+                     _lit_arr(["biolink:ChemicalEntity", "biolink:SmallMolecule", "biolink:NamedThing"])),
+        "brand": node(brands, _curie("BRND", "p_brand"), F.col("p_brand"),
+                      _lit_arr(["biolink:GeneFamily", "biolink:NamedThing"])),
+        "nation": node(natn, _curie("NATN", "n_nationkey"), F.col("n_name"),
+                       _lit_arr(["biolink:AnatomicalEntity", "biolink:NamedThing"])),
+        "region": node(regn, _curie("REGN", "r_regionkey"), F.col("r_name"),
+                       _lit_arr(["biolink:BiologicalEntity", "biolink:NamedThing"])),
+        "orders": node(ordr, _curie("ORDR", "o_orderkey"),
+                       F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")),
+                       _lit_arr(["biolink:InformationContentEntity", "biolink:NamedThing"])),
+    }
+    if overrides:
+        picked = [branches[n] for n in overrides if n in branches]
+        out = picked[0]
+        for b in picked[1:]:
+            out = out.unionByName(b)
+        return out
+    out = None
+    for b in branches.values():
+        out = b if out is None else out.unionByName(b)
+    return out
 
 
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,9 +31,13 @@ TARGET_BRAND = "BRND:Brand#13"
 
 def kg_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(1) point lookup by id — ``match (a {id:X}) return a``
-    (ref docs/cypher-cmds.txt:93-95)."""
-    nodes = kg_nodes(spark, sf_dir)
-    return nodes.filter(F.col("id") == POINT_ID).select(
+    (ref docs/cypher-cmds.txt:93-95). CURIE-prefix routing pushes the
+    raw-key filter into the single backing scan (Catalyst can't invert
+    the concat-derived id; the router is the partition prune)."""
+    from kgeng.graph.kgview import kg_node_by_id
+
+    nodes = kg_node_by_id(spark, sf_dir, POINT_ID)
+    return nodes.select(
         "id",
         "name",
         F.get(reorder_categories(F.col("category")), 0).alias("primary_class"),
@@ -266,7 +270,7 @@ from kgeng.textops.dedup import (  # noqa: E402
     dedup_simhash,
 )
 from kgeng.textops.multimodal import mm_features, mm_metadata  # noqa: E402
-from kgeng.textops.similarity import ann_cosine_topk, ann_lsh_topk  # noqa: E402
+from kgeng.textops.similarity import ann_cosine_topk, ann_ivf_topk, ann_lsh_topk  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data ops (documents / embeddings / events)
@@ -281,6 +285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "mm_metadata": mm_metadata,
     "mm_features": mm_features,
     "q_events_sessions": q_events_sessions,

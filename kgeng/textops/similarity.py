@@ -78,6 +78,66 @@ def _lsh_bucket(v, bits: int = LSH_BITS):
     return bucket
 
 
+CENTROID_STRIDE = 40  # every 40th vector doubles as a coarse centroid
+N_PROBE = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    coarse centroid (inverted lists); each query probes only its
+    N_PROBE nearest centroids' lists.
+
+    Centroids here are a deterministic sample (every
+    ``CENTROID_STRIDE``-th vector) so results are reproducible without
+    an RNG-seeded k-means fit; at scale the assignment join is
+    |corpus| × |centroids| with the centroid side broadcast, and the
+    probe space is |corpus| / |centroids| × N_PROBE per query.
+    """
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    cents = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv_"), F.col("nrm").alias("cn_")
+    )
+    # inverted lists: nearest centroid per corpus vector
+    asg_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cent_score").desc(), F.col("cent_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cent_score", _dot(F.col("cv_"), F.col("cv")) / (F.col("cn_") * F.col("cn")))
+        .withColumn("r", F.row_number().over(asg_w))
+        .filter(F.col("r") == 1)
+        .select("neighbor_id", "cv_", "cn_", "cent_id")
+    )
+    # probe lists: top-N_PROBE centroids per query
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_score").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_score", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= N_PROBE)
+        .select("query_id", "qv", "qn", "cent_id")
+    )
+    scored = probes.join(assigned, "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv_")) / (F.col("qn") * F.col("cn_")), 5).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket. Recall is
     traded for a pair space of |bucket|; exactness is checked against

@@ -8,6 +8,7 @@ import contextlib
 import io
 
 from kgeng.queries.corpus import (
+    kg_point_lookup,
     kg_two_hop_closure,
     q_pricing_summary,
     q_revenue_by_nation,
@@ -28,6 +29,18 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = plan_of(q_pricing_summary(spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_point_lookup_prefix_routing_pushdown(spark):
+    """The concat-derived node id is not invertible by Catalyst; the
+    CURIE-prefix router must push the raw key into the one backing
+    scan instead of scanning every source."""
+    plan = plan_of(kg_point_lookup(spark, SF_DIR))
+    assert "EqualTo(c_custkey,42)" in plan, plan
+    assert "orders.parquet" not in plan  # other branches pruned away
+    assert "customer.parquet" in plan
+    # formatted plans list each scan twice (tree + detail): one scan
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_small_dims_broadcast(spark):

@@ -36,6 +36,7 @@ def test_all_queries_have_oracles_or_are_documented():
     allowed_missing: set[str] = {
         "dedup_simhash",  # xxhash64 bitwise kernel has no portable twin
         "ann_lsh_topk",  # approximate; recall-checked vs exact top-k instead
+        "ann_ivf_topk",  # approximate; list/recall-checked vs exact top-k
         "mm_features",  # mapInPandas feature extractor; rows-only check
     }
     assert missing == allowed_missing, f"unexpected oracle-less queries: {missing}"

@@ -5,10 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from kgeng.streaming.events import streaming_event_counts
+from kgeng.streaming.events import streaming_event_counts, streaming_user_totals
 from kgeng.textops.dedup import dedup_embedding_cosine, dedup_exact, dedup_minhash_lsh, dedup_simhash
 from kgeng.textops.multimodal import decode_image, mm_features
-from kgeng.textops.similarity import TOP_K, ann_cosine_topk, ann_lsh_topk
+from kgeng.textops.similarity import TOP_K, ann_cosine_topk, ann_ivf_topk, ann_lsh_topk
 
 from tests.conftest import SF_DIR
 
@@ -64,6 +64,56 @@ def test_ann_lsh_recall_floor(spark):
     # machinery returns ranked rows and every hit is a true pair shape
     assert len(exact) == 10 * TOP_K
     assert all(q < 10 and n >= 10 for q, n in approx)
+
+
+def test_ann_ivf_shape_and_recall(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    ivf = ann_ivf_topk(spark, SF_DIR).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # every query returns a full ranked list from its probed lists
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert len(per_q) == 10
+    # probing 3/13 lists of random vectors: just require nonzero overlap
+    assert len(got & exact) > 0
+
+
+def test_streaming_stateful_user_totals(spark):
+    import os
+    import shutil
+
+    stream_dir = "/root/repo/.fixtures/stream_events2"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events.parquet")
+    q = (
+        streaming_user_totals(spark, stream_dir)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM user_totals GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{stream_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == expected
 
 
 def test_mm_features_shape_and_determinism(spark):
