@@ -161,12 +161,21 @@ def kg_degree0_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_reorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(O1 exposure) reordered category arrays for a deterministic node
     sample — verifies 'head = highest-priority class present, tail
-    sorted' against an independent oracle derivation."""
+    sorted' against an independent oracle derivation.
+
+    The array is serialized (``;``-joined) at the query surface: the
+    driver's comparator canonicalizes rows via pandas and cannot hash
+    list-typed cells — scalar columns are the graded contract."""
     nodes = kg_nodes(spark, sf_dir)
     return (
         nodes.filter(F.col("id").startswith("CUST:"))
         .filter(F.substring_index(F.col("id"), ":", -1).cast("long") % 100 == 0)
-        .select("id", reorder_categories(F.col("category")).alias("category_reordered"))
+        .select(
+            "id",
+            F.concat_ws(";", reorder_categories(F.col("category"))).alias(
+                "category_reordered"
+            ),
+        )
     )
 
 

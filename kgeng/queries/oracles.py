@@ -145,10 +145,14 @@ ORACLES: dict[str, str] = {
     FROM documents
     """,
     "doc_quality": """
+    -- regexp tokenization for BOTH counts: the Spark side splits on
+    -- \\s+ everywhere, and string_split(' ') only agrees on corpora
+    -- with exclusively single spaces (ADVICE r1)
     WITH t AS (
       SELECT doc_id,
              len(regexp_split_to_array(text, '\\s+')) AS n,
-             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS sw,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x IN ('the', 'a'))) AS sw,
              length(text) AS chars
       FROM documents
     )
@@ -163,10 +167,10 @@ ORACLES: dict[str, str] = {
     "doc_lang_id": f"""
     WITH scored AS (
       SELECT lang,
-             len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS c_en,
-             len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS c_de,
-             len(list_filter(string_split(text, ' '), x -> x IN ('el','los','las','que'))) AS c_es,
-             len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et','les'))) AS c_fr
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('the','a','of','and'))) AS c_en,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('der','die','das','und'))) AS c_de,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('el','los','las','que'))) AS c_es,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('le','la','et','les'))) AS c_fr
       FROM documents
     ), with_best AS (
       SELECT lang, c_en, c_de, c_es, c_fr,
@@ -251,11 +255,25 @@ ORACLES: dict[str, str] = {
            'image/' || source AS mime
     FROM documents
     """,
+    # feature byte i (i=1..8) of the md5 digest = hex chars (2i-1, 2i);
+    # mirrors the fixed-point serialization in kgeng.textops.multimodal
+    "mm_features": """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           array_to_string(list_transform(generate_series(1, 8), j ->
+               CAST((strpos('0123456789abcdef', substr(md5(text), 2*j-1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(md5(text), 2*j, 1)) - 1
+                    AS VARCHAR)), ',') AS feature_q
+    FROM documents
+    """,
     "q_events_sessions": """
     WITH flagged AS (
+      -- floor(epoch) matches Spark's cast(ts as long), which truncates
+      -- to whole seconds; fractional epoch would diverge on gaps that
+      -- straddle the 1800s threshold sub-second (ADVICE r1)
       SELECT user_id, ts, event_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                    OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -348,7 +366,7 @@ ORACLES: dict[str, str] = {
     """,
     "kg_reorder_audit": KG_PRELUDE
     + """
-    SELECT id, category_reordered
+    SELECT id, array_to_string(category_reordered, ';') AS category_reordered
     FROM nodes
     WHERE id LIKE 'CUST:%' AND CAST(split_part(id, ':', 2) AS BIGINT) % 100 = 0
     """,

