@@ -106,7 +106,7 @@ WITH corpus AS (
     UNION ALL
     SELECT doc_id + 10000, substr(text, instr(text, ' ') + 1) FROM documents
 ),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -116,10 +116,15 @@ sh AS (
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
     )
 ),
+-- hot-shingle df cap, mirroring kgeng.textops.dedup.capped_shingles
+sh AS (
+    SELECT * FROM sh_all
+    WHERE sh NOT IN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > 500)
+),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 jac AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(COUNT(*) * 1.0 / (ANY_VALUE(sa.sz) + ANY_VALUE(sb.sz) - COUNT(*)), 4) AS jaccard
+           floor(COUNT(*) * 1.0 / (ANY_VALUE(sa.sz) + ANY_VALUE(sb.sz) - COUNT(*)) * 10000) / 10000 AS jaccard
     FROM sh a
     JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     JOIN sizes sa ON sa.doc_id = a.doc_id

@@ -30,6 +30,12 @@ N_MINHASH = 16
 BAND_SIZE = 4
 COSINE_DUP_THRESHOLD = 0.999
 SIMHASH_BITS = 64
+# Hot-shingle document-frequency cap: a shingle present in more than
+# MAX_SHINGLE_DF documents (a stop-phrase at web scale) is dropped from
+# the shingle sets BEFORE sizes/Jaccard/MinHash, on both engines, so
+# the shingle self-join pair space stays linear in |docs| instead of
+# quadratic in the hottest shingle's frequency.
+MAX_SHINGLE_DF = 500
 
 
 # ---------------------------------------------------------------------------
@@ -38,8 +44,18 @@ SIMHASH_BITS = 64
 
 
 def dup_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-dup copies (id+10000, first token dropped)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    """documents ∪ near-dup copies (id+10000, first token dropped).
+
+    The compressed source lands in one input split (maxPartitionBytes
+    is a byte budget) while the downstream shingle explode multiplies
+    rows ~100×, so we repartition at ingest — the same medicine the
+    main pipeline applies — to spread the shingling/hashing work across
+    every core before the fan-out."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     perturbed = d.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
@@ -78,9 +94,32 @@ def shingles_df(corpus: DataFrame) -> DataFrame:
     return corpus.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
+def capped_shingles(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The hot set is tiny by construction (few shingles are that
+    frequent), so the exclusion is a broadcast anti-join — one linear
+    pass to count, one map-side filter."""
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def _trunc4(c):
+    # floor-truncation instead of round(): identical doubles floor
+    # identically on every engine, while round() half-up vs half-even
+    # diverges at exact .5 boundaries (e.g. jaccard = 1/32)
+    return F.floor(c * 10000) / 10000
+
+
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """All (doc_a < doc_b) pairs sharing >=1 shingle, with exact
-    Jaccard over distinct shingle sets."""
+    Jaccard over distinct shingle sets. The pair space is bounded by
+    shingle document frequency — feed this CAPPED shingles."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -98,9 +137,39 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            _trunc4(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate ``pairs``
+    (doc_a, doc_b) — never the full shingle self-join.
+
+    Plan: per-doc shingle sets (one linear groupBy), then two id-keyed
+    joins to attach both sets to each candidate, with the intersection
+    as a map-side ``array_intersect``. Cost is |pairs| · avg set size,
+    linear in the candidate count — the property LSH banding buys."""
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"), F.count("*").alias("sz")
+    )
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _trunc4(inter / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -127,8 +196,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (threshold 0.6)."""
-    sh = shingles_df(dup_text_corpus(spark, sf_dir))
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.6), over
+    df-capped shingles so one stop-phrase can't make the self-join
+    quadratic."""
+    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
     return _jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
@@ -164,9 +235,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share >=1 band; verified with exact Jaccard >= 0.6.
 
     The band join touches |docs|·4 rows — never the quadratic pair
-    space — which is the property that survives a 100× scale-up.
+    space — and verification runs exact Jaccard ONLY over the band
+    candidates (``_jaccard_for_pairs``), which is the property that
+    survives a 100× scale-up.
     """
-    sh = shingles_df(dup_text_corpus(spark, sf_dir))
+    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
     sig = minhash_signatures(sh)
     bands = (
         sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
@@ -191,8 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD)
-    return cands.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return _jaccard_for_pairs(sh, cands, JACCARD_THRESHOLD)
 
 
 def simhash_table(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
