@@ -141,6 +141,70 @@ _LANG_PRED_SQL = """
          ELSE 'en' END
 """
 
+
+def _bucket_sql(v: str, bits: int = 12) -> str:
+    """DuckDB twin of kgeng.textops.similarity._lsh_bucket: bit h of
+    the bucket is the sign of Σ_d v[d]·w(h,d), with w(h,d) the top bit
+    of the 32-bit multiplicative hash (±1). DuckDB lists are
+    1-indexed, Spark's sequence starts at 0, hence (d-1)."""
+    terms = []
+    for h in range(bits):
+        w = (
+            f"CAST(((({h} * 2654435761 + (d - 1) * 2246822519) % 4294967296) >> 31)"
+            f" * 2 - 1 AS DOUBLE)"
+        )
+        proj = f"list_sum(list_transform(generate_series(1, len({v})), d -> {v}[d] * {w}))"
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of kgeng.textops.dedup.simhash_table /
+    dedup_simhash: bit i of a token hash = bit i%4 of hex digit i//4
+    of md5(token); signatures as '0'/'1' strings; 4×16-char band
+    blocking; Hamming = per-position char mismatch count."""
+    digs = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}" for j in range(16)
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    sim_concat = " || ".join(
+        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(sa, {k + 1}, 1) != substr(sb, {k + 1}, 1) THEN 1 ELSE 0 END"
+        for k in range(64)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, substr(text, instr(text, ' ') + 1) FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, md5(t) AS h
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM corpus)
+    ),
+    dig AS (SELECT doc_id, {digs} FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM dig GROUP BY doc_id),
+    sim AS (SELECT doc_id, {sim_concat} AS sim_bits FROM bits),
+    bands AS (
+        SELECT doc_id, sim_bits, band, substr(sim_bits, band * 16 + 1, 16) AS key
+        FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim_bits AS sa, b.sim_bits AS sb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, {hamming} AS hamming FROM cands
+    ) WHERE hamming <= 6
+    """
+
 ORACLES: dict[str, str] = {
     # -- training-data ops ------------------------------------------------
     "doc_token_stats": """
@@ -222,18 +286,22 @@ ORACLES: dict[str, str] = {
     FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
     WHERE j.jaccard >= 0.6
     """,
-    "dedup_embedding_cosine": """
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings
+    ),
+    en AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_bucket_sql("v")} AS bucket
+      FROM corpus
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.999
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.999
     """,
     "ann_cosine_topk": """
     WITH e AS (
@@ -245,6 +313,62 @@ ORACLES: dict[str, str] = {
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS score
       FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ann_lsh_topk": f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS score
+      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ann_ivf_topk": """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 40 = 0),
+    assigned AS (
+      SELECT neighbor_id, v, nrm, cent_id FROM (
+        SELECT c.vec_id AS neighbor_id, c.v, c.nrm, ct.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_dot_product(c.v, ct.cv) / (c.nrm * ct.cn) DESC,
+                                           ct.cent_id) AS r
+        FROM e c CROSS JOIN cents ct WHERE c.vec_id >= 10
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, qn, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, ct.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v, ct.cv) / (q.nrm * ct.cn) DESC,
+                                           ct.cent_id) AS r
+        FROM e q CROSS JOIN cents ct WHERE q.vec_id < 10
+      ) WHERE r <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 5) AS score
+      FROM probes p JOIN assigned a USING (cent_id)
     )
     SELECT query_id, neighbor_id, score, rank FROM (
       SELECT query_id, neighbor_id, score,

@@ -24,8 +24,12 @@ LSH_BITS = 12
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # repartition at ingest: the compressed source is one split, and
+    # the per-vector norm/bucket/dot arithmetic is the hot loop
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -60,16 +64,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplane_weight(h: int, d):
+    """Deterministic ±1 hyperplane component, portable to any engine
+    with 64-bit integer arithmetic: the top bit of the 32-bit
+    multiplicative hash ``(h·2654435761 + d·2246822519) mod 2^32``
+    (Knuth/xxhash odd constants). NOTE: an earlier family used
+    ``(h·131 + d·17) % 2``, which reduces to ``(h+d) % 2`` — one
+    hyperplane repeated with alternating sign, i.e. two buckets total.
+    This family gives genuinely independent bits per h."""
+    mixed = (F.lit(h * 2654435761) + d * F.lit(2246822519)) % F.lit(4294967296)
+    return (F.shiftright(mixed, 31) * 2 - 1).cast("double")
+
+
 def _lsh_bucket(v, bits: int = LSH_BITS):
     """Deterministic random-hyperplane bucket: bit h = sign of
-    Σ_d v[d]·w(h,d) with w(h,d) = ((h·131 + d·17) % 2)·2 − 1."""
+    Σ_d v[d]·w(h,d); see ``_hyperplane_weight`` for the portable
+    weight family (mirrored by the DuckDB oracle)."""
     bucket = F.lit(0)
     for h in range(bits):
         proj = F.aggregate(
             F.zip_with(
                 v,
                 F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x * (((F.lit(h * 131) + d * 17) % 2) * 2 - 1),
+                lambda x, d: x * _hyperplane_weight(h, d),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -100,16 +117,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv_"), F.col("nrm").alias("cn_")
     )
-    # inverted lists: nearest centroid per corpus vector
-    asg_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("cent_score").desc(), F.col("cent_id")
-    )
+    # inverted lists: nearest centroid per corpus vector, as a max_by
+    # aggregation (tie -> lowest cent_id) — the argmax collapses
+    # map-side in the partial agg, so the corpus×centroid product is
+    # never shuffled (the old row_number window exchanged all of it)
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("cent_score", _dot(F.col("cv_"), F.col("cv")) / (F.col("cn_") * F.col("cn")))
-        .withColumn("r", F.row_number().over(asg_w))
-        .filter(F.col("r") == 1)
-        .select("neighbor_id", "cv_", "cn_", "cent_id")
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "cv_", "cn_"),
+                F.struct(F.col("cent_score"), (-F.col("cent_id")).alias("tb")),
+            ).alias("s")
+        )
+        .select(
+            "neighbor_id",
+            F.col("s.cv_").alias("cv_"),
+            F.col("s.cn_").alias("cn_"),
+            F.col("s.cent_id").alias("cent_id"),
+        )
     )
     # probe lists: top-N_PROBE centroids per query
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

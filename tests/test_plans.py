@@ -59,6 +59,29 @@ def test_whole_stage_codegen(spark):
     assert "Found" in plan  # "Found N WholeStageCodegen subtrees"
 
 
+def test_embedding_dedup_has_no_cartesian_product(spark):
+    """The registered embedding near-dup query must block on LSH
+    buckets (equi-join), never the all-pairs cross product."""
+    from kgeng.textops.dedup import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_assignment_is_aggregated_not_windowed(spark):
+    """Nearest-centroid assignment must be a max_by aggregation (the
+    partial agg collapses the corpus×centroid product map-side), not a
+    row_number window that exchanges the whole product."""
+    from kgeng.textops.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF_DIR))
+    # windows may remain on the query side (|queries| rows) but never
+    # partitioned by the corpus key
+    assert "windowspecdefinition(neighbor_id" not in plan, plan
+    assert "max_by" in plan, plan
+
+
 def test_column_pruning(spark):
     plan = plan_of(doc_token_stats(spark, SF_DIR))
     # the scan must read only (doc_id, text); lang/source/n_chars pruned

@@ -32,14 +32,11 @@ def test_query_matches_oracle(spark, con, name):
 
 def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may be oracle-less; keep the list explicit
-    allowed_missing: set[str] = {
-        "dedup_simhash",  # xxhash64 bitwise kernel has no portable twin
-        "ann_lsh_topk",  # approximate; recall-checked vs exact top-k instead
-        "ann_ivf_topk",  # approximate; list/recall-checked vs exact top-k
-        "mm_features",  # mapInPandas feature extractor; rows-only check
-    }
-    assert missing == allowed_missing, f"unexpected oracle-less queries: {missing}"
+    # every registered query now has a DuckDB oracle twin (round 2:
+    # md5-derived SimHash bits, portable hyperplane buckets, and the
+    # fixed-point mm_features serialization made the last four
+    # oracleable); keep this gate so regressions are loud
+    assert missing == set(), f"unexpected oracle-less queries: {missing}"
 
 
 def test_entry_smoke(spark):
