@@ -71,6 +71,13 @@ def _scan_text(text: str, lookup: dict[str, bool], max_n: int) -> list[tuple[str
     return out
 
 
+# Collect guard: a dictionary beyond this many distinct aliases should
+# not be collected to the driver — the docstring's join-based path is
+# the scale route. ~10^7 short strings ≈ a few GB of driver heap; the
+# guard fails loudly well before the driver OOMs mid-collect.
+MAX_COLLECTED_ALIASES = 20_000_000
+
+
 def detect_mentions(
     spark: SparkSession, pages: DataFrame, dictionary: DataFrame
 ) -> DataFrame:
@@ -80,9 +87,16 @@ def detect_mentions(
     Linking (alias_norm -> curie) is a separate broadcast join so the
     ambiguity-resolution ranker stays in DataFrame land.
     """
-    alias_rows = (
-        dictionary.selectExpr("explode(aliases) AS alias").distinct().collect()
-    )
+    distinct_aliases = dictionary.selectExpr("explode(aliases) AS alias").distinct()
+    n_aliases = distinct_aliases.count()
+    if n_aliases > MAX_COLLECTED_ALIASES:
+        raise ValueError(
+            f"alias dictionary has {n_aliases:,} distinct surfaces, beyond the "
+            f"driver-collect guard ({MAX_COLLECTED_ALIASES:,}); use the "
+            f"join-based exact-match path (explode text n-grams + broadcast "
+            f"join) instead of the trie broadcast"
+        )
+    alias_rows = distinct_aliases.collect()
     lookup, max_n = build_alias_trie([r["alias"] for r in alias_rows])
     bc = spark.sparkContext.broadcast((lookup, max_n))
 

@@ -102,19 +102,95 @@ def generate_rel_ddl(pred_pairs: dict[str, list[tuple[str, str]]], tags: dict[st
     return out
 
 
+def _part_dir(col: str, value: str) -> str:
+    """Directory name Spark's dynamic-partition writer produces for
+    ``col=value`` — special chars in the value are percent-escaped
+    (``:`` -> ``%3A``), so a manifest glob must use the escaped form or
+    it matches nothing."""
+    from urllib.parse import quote
+
+    return f"{col}={quote(value, safe='')}"
+
+
 def import_statements(bin_root: str, classes: list[str], predicates: list[str]) -> list[str]:
     """IMPORT: the COPY manifest (ref ``:571,607`` — edges tolerate
     malformed rows via IGNORE_ERRORS; Spark's PERMISSIVE read is the
-    equivalent on the way in)."""
+    equivalent on the way in).
+
+    The statements point at the CSV parity sinks (``nodes_flat`` /
+    ``edges_flat``), whose partition layout run_refbuild writes to
+    match exactly — each glob is asserted non-empty in tests, so the
+    drive-the-same-DB manifest actually loads the produced bins."""
     stmts = [
-        f"COPY `{cls}` FROM '{bin_root}/nodes/node_class={cls}/*' (HEADER=true, DELIMITER=',')"
+        f"COPY `{cls}` FROM '{bin_root}/nodes_flat/{_part_dir('node_class', cls)}/*.csv'"
+        f" (HEADER=true, DELIMITER=',')"
         for cls in sorted(classes)
     ]
     stmts += [
-        f"COPY `{p}` FROM '{bin_root}/edges/predicate={p}/*' (HEADER=true, DELIMITER=',', IGNORE_ERRORS=true)"
+        f"COPY `{p}` FROM '{bin_root}/edges_flat/{_part_dir('label', p)}/*.csv'"
+        f" (HEADER=true, DELIMITER=',', IGNORE_ERRORS=true)"
         for p in sorted(predicates)
     ]
     return stmts
+
+
+# ---------------------------------------------------------------------------
+# E3 — MemGraph LOAD CSV codegen parity
+# ---------------------------------------------------------------------------
+
+# header tag -> Cypher cast template ({col} is the sanitized name).
+# Mirrors get_conversion (MemGraph/mg_build_individual_json.py:233-267):
+# identity for string-ish tags, toBoolean/toFloat/toInteger casts,
+# split(...) for ';'-packed arrays. For float[] the reference emits an
+# UNWIND/COLLECT fragment that is not valid inside a property map
+# (documented reference bug); we emit the well-formed list
+# comprehension with identical semantics (split, drop empties, toFloat).
+_CYPHER_CASTS: dict[str, str] = {
+    "string": "row.{col}",
+    "id": "row.{col}",
+    "start_id": "row.{col}",
+    "end_id": "row.{col}",
+    "type": "row.{col}",
+    "boolean": "toBoolean(row.{col})",
+    "float": "toFloat(row.{col})",
+    "int": "toInteger(row.{col})",
+    "string[]": "split(row.{col}, '{sep}')",
+    "label": "split(row.{col}, '{sep}')",
+    "float[]": "[x IN split(coalesce(row.{col}, ''), '{sep}') WHERE x <> '' | toFloat(x)]",
+}
+
+
+def cypher_property_map(tags: dict[str, str], array_split_char: str = ";") -> str:
+    """E3/F6 — generate the cast-laden Cypher property-map fragment a
+    MemGraph ``LOAD CSV`` statement embeds, from a typed header
+    (``process_csv_header``/``get_conversion``,
+    ``MemGraph/mg_build_individual_json.py:157-267``). One
+    ``name: cast(row.name)`` line per column, tab-indented, wrapped in
+    braces — the reference's framing."""
+    lines = []
+    for name, tag in tags.items():
+        col = sanitize_column_name(name)
+        expr = _CYPHER_CASTS[tag].format(col=col, sep=array_split_char)
+        lines.append(f"\t{col}: {expr}")
+    return "{\n" + ",\n".join(lines) + "\n}"
+
+
+def cypher_load_csv(csv_path: str, tags: dict[str, str], kind: str = "node") -> str:
+    """Full LOAD CSV statement (nodes create ``(n: Node {...})``; edges
+    match both endpoints by id and create the typed relationship —
+    the statement shapes documented at
+    ``MemGraph/mg_build_individual_json.py:163-188``)."""
+    prop_map = cypher_property_map(tags)
+    if kind == "node":
+        return (
+            f'LOAD CSV FROM "{csv_path}" WITH HEADER AS row\n'
+            f"CREATE (n: Node {prop_map})"
+        )
+    return (
+        f'LOAD CSV FROM "{csv_path}" WITH HEADER AS row\n'
+        f'MATCH (a: Node {{id: row.subject}}), (b: Node {{id: row.object}})\n'
+        f"CREATE (a)-[e: Edge {prop_map}]->(b)"
+    )
 
 
 def run_refbuild(
@@ -154,13 +230,17 @@ def run_refbuild(
     binned_nodes = nodes.withColumn("node_class", F.get(F.col("labels"), 0))
     from kgeng.io.sources import write_kgx_csv
 
+    # CSV parity sinks partitioned to match the COPY manifest globs
     write_kgx_csv(
-        binned_nodes.repartition("node_class"), f"{out_dir}/bins/nodes_flat"
-    )  # flat CSV parity sink
+        binned_nodes, f"{out_dir}/bins/nodes_flat", partition_by=["node_class"]
+    )
     binned_nodes.write.mode("overwrite").partitionBy("node_class").parquet(
         f"{out_dir}/bins/nodes"
     )
     converted_edges = convert_edges(resolved)
+    write_kgx_csv(
+        converted_edges, f"{out_dir}/bins/edges_flat", partition_by=["label"]
+    )
     converted_edges.write.mode("overwrite").partitionBy(
         "label", "subject_class", "object_class"
     ).parquet(f"{out_dir}/bins/edges")

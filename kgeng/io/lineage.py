@@ -24,24 +24,31 @@ import time
 
 
 def fingerprint_paths(*paths: str, extra: str = "") -> str:
-    """Deterministic fingerprint of a stage's inputs: path names +
-    file sizes + mtimes of the underlying files (parquet dirs walk
-    their part files)."""
+    """Deterministic fingerprint of a stage's inputs: root-relative
+    path + size + nanosecond mtime of every underlying file (parquet
+    dirs walk their part files).
+
+    Root-relative paths (not basenames) mean a part file moved between
+    partition subdirectories changes the digest, and ``st_mtime_ns``
+    (not whole seconds) means a same-size rewrite within one second
+    does too — either would otherwise let the resume protocol silently
+    skip recomputation on changed input."""
     h = hashlib.sha256()
     h.update(extra.encode())
     for p in sorted(paths):
         h.update(p.encode())
         if os.path.isdir(p):
             for root, _dirs, files in sorted(os.walk(p)):
+                rel_root = os.path.relpath(root, p)
                 for f in sorted(files):
                     if f.startswith((".", "_")):
                         continue
-                    fp = os.path.join(root, f)
-                    st = os.stat(fp)
-                    h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.join(rel_root, f)
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
         elif os.path.exists(p):
             st = os.stat(p)
-            h.update(f"{st.st_size}:{int(st.st_mtime)}".encode())
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 

@@ -28,12 +28,16 @@ def read_kgx_csv(
     csv_path: str,
     header_path: str,
     launder_quotes: bool = False,
+    force_int32: list[str] | None = None,
 ) -> DataFrame:
     """Typed-header-driven CSV scan: header file -> StructType ->
     ``spark.read.csv(schema=...)`` (never inferSchema), then packed
     array cells become real arrays and float-string int cells coerce
-    via the two-step cast."""
-    schema, tags = read_typed_header_file(header_path)
+    via the two-step cast. ``force_int32`` columns are narrowed to
+    32-bit ints by NAME regardless of tag (the reference's chem
+    descriptor override; pass ``kgeng.schemas.NODE_INT32_COLS`` /
+    ``EDGE_INT32_COLS``)."""
+    schema, tags = read_typed_header_file(header_path, force_int32=force_int32)
     # int-tagged columns arrive as float-strings ("3.0") in the
     # reference's dumps — read them as strings and coerce after (the
     # two-step cast), or the CSV parser nulls them
@@ -48,6 +52,9 @@ def read_kgx_csv(
     df = spark.read.csv(
         csv_path, schema=read_schema, header=True, multiLine=True, escape='"'
     )
+    from kgeng.schemas import sanitize_column_name
+
+    forced = {sanitize_column_name(c) for c in (force_int32 or [])}
     for col, tag in tags.items():
         if tag in ARRAY_TAGS:
             elem = "double" if tag == "float[]" else None
@@ -55,20 +62,33 @@ def read_kgx_csv(
                 col, split_packed_array(F.col(col), launder=launder_quotes, element_type=elem)
             )
         elif tag == "int":
-            df = df.withColumn(col, int_coerce(F.col(col)))
+            coerced = int_coerce(F.col(col))
+            if col in forced:
+                coerced = coerced.cast("int")
+            df = df.withColumn(col, coerced)
     return df
 
 
-def write_kgx_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_kgx_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
     """CSV sink (S5): array columns re-packed as ``;``-joined cells
-    (the reference's array_split_char convention)."""
+    (the reference's array_split_char convention). ``partition_by``
+    fans the files out into ``col=value`` directories (S6's per-class
+    bin layout), which is what the COPY import manifest globs."""
     out = df
     for field in df.schema.fields:
         if field.dataType.typeName() == "array":
             out = out.withColumn(
                 field.name, F.array_join(F.col(field.name).cast("array<string>"), ";")
             )
-    out.write.mode(mode).option("header", True).csv(path)
+    w = out.write.mode(mode).option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
 
 
 def read_kgx_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:

@@ -86,16 +86,34 @@ def kg_duplicate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(6) 1-hop neighborhood with per-predicate counts —
-    ``match (a {id:X})-[x]-(b) return type(x), x.primary_knowledge_source,
-    count(b)`` (ref docs/cypher-cmds.txt:91). Undirected match = union
-    of outgoing and incoming, tagged with direction."""
+    """(6) label-constrained 1-hop neighborhood with per-predicate
+    counts — ``match (a:`biolink:Disease` {id:X})-[x]-(b:`biolink:
+    NamedThing`) return type(x), x.primary_knowledge_source, count(b)``
+    (ref docs/cypher-cmds.txt:91). Undirected match = union of outgoing
+    and incoming, tagged with direction.
+
+    Both node-label legs are real: the anchor is the lowest-id node
+    carrying the Disease label (deterministic at any SF, a 1-row
+    broadcast), and the far endpoint is label-checked with a semi-join
+    against NamedThing-labeled nodes — the reference's ``b:NamedThing``
+    constraint, not an id-prefix shortcut."""
+    nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
-    out = edges.filter(F.col("subject") == ONE_HOP_ID).select(
-        "predicate", "primary_knowledge_source", F.lit("out").alias("direction")
+    anchor = nodes.filter(
+        F.array_contains(F.col("category"), "biolink:Disease")
+    ).agg(F.min("id").alias("aid"))
+    named = nodes.filter(
+        F.array_contains(F.col("category"), "biolink:NamedThing")
+    ).select(F.col("id").alias("nid"))
+    out = (
+        edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid"))
+        .join(named, edges["object"] == named["nid"], "left_semi")
+        .select("predicate", "primary_knowledge_source", F.lit("out").alias("direction"))
     )
-    inc = edges.filter(F.col("object") == ONE_HOP_ID).select(
-        "predicate", "primary_knowledge_source", F.lit("in").alias("direction")
+    inc = (
+        edges.join(F.broadcast(anchor), edges["object"] == F.col("aid"))
+        .join(named, edges["subject"] == named["nid"], "left_semi")
+        .select("predicate", "primary_knowledge_source", F.lit("in").alias("direction"))
     )
     return (
         out.unionByName(inc)
@@ -113,34 +131,64 @@ def kg_predicate_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# flagship predicate family / label filters, mirroring the reference's
+# 8-way disjunction + `IN labels()` OR clause (docs/cypher-cmds-1.txt:102)
+FLAGSHIP_PREDICATES = ["biolink:contains", "biolink:supplied_by"]
+SUPERCLASS_LABELS = ["biolink:GeneFamily", "biolink:Phenomenon"]
+
+
 def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(8) the flagship: 2-hop constrained path with ``subclass_of*0..1``
-    closure (ref docs/cypher-cmds-1.txt:102 — chemical→affects→gene
-    →subclass_of*0..1→target).
+    closure (ref docs/cypher-cmds-1.txt:102 —
+    ``(source:ChemicalEntity)-[affects|...|regulates]->(i:NamedThing)
+    -[subclass_of*0..1]->(i_superclass {id: X})
+    WHERE "biolink:Gene" IN labels(i_superclass) OR
+          "biolink:Protein" IN labels(i_superclass)``).
 
-    Analogue: parts that are (0- or 1-hop) subclasses of TARGET_BRAND,
-    and for each such part the number of distinct orders containing it.
-    The 0..1 closure is the union of the target itself with its direct
-    subclass children — no recursion needed, exactly like the Cypher.
-    The small closure side is broadcast so the big ``contains`` probe
-    never shuffles.
+    Analogue over the TPC-H KG, exercising every operator class the
+    Cypher uses:
+
+    - superclass point match + ``IN labels()`` OR filter: TARGET_BRAND
+      with ``array_contains(category, GeneFamily|Phenomenon)``;
+    - ``*0..1`` closure: the root unioned with its direct
+      ``subclass_of`` children (no recursion, exactly like the Cypher);
+    - inner-node label constraint (``i:NamedThing``): semi-join of the
+      closure against NamedThing-labeled nodes;
+    - predicate disjunction on the first hop (``isin``);
+    - source label constraint (``InformationContentEntity``): semi-join
+      AFTER the broadcast closure probe, so the big edge table is first
+      cut to the handful of closure-incident edges and the label check
+      touches only those.
     """
+    nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
-    zero_hop = spark.createDataFrame([(TARGET_BRAND,)], ["member"])
+    label_ok = None
+    for lbl in SUPERCLASS_LABELS:
+        cond = F.array_contains(F.col("category"), lbl)
+        label_ok = cond if label_ok is None else (label_ok | cond)
+    root = (
+        nodes.filter(F.col("id") == TARGET_BRAND)
+        .filter(label_ok)
+        .select(F.col("id").alias("member"))
+    )
     one_hop = (
-        edges.filter(
-            (F.col("predicate") == "biolink:subclass_of")
-            & (F.col("object") == TARGET_BRAND)
-        )
+        edges.filter(F.col("predicate") == "biolink:subclass_of")
+        .join(F.broadcast(root.select(F.col("member").alias("rt"))), F.col("object") == F.col("rt"))
         .select(F.col("subject").alias("member"))
         .distinct()
     )
-    closure = zero_hop.unionByName(one_hop)
-    contains = edges.filter(F.col("predicate") == "biolink:contains")
-    return (
-        contains.join(F.broadcast(closure), contains["object"] == closure["member"])
-        .groupBy(F.col("object").alias("part_id"))
-        .agg(F.countDistinct("subject").alias("n_orders"))
+    named = nodes.filter(
+        F.array_contains(F.col("category"), "biolink:NamedThing")
+    ).select(F.col("id").alias("member"))
+    closure = root.unionByName(one_hop).join(named, "member", "left_semi")
+    fam = edges.filter(F.col("predicate").isin(FLAGSHIP_PREDICATES))
+    hits = fam.join(F.broadcast(closure), fam["object"] == closure["member"])
+    sources = nodes.filter(
+        F.array_contains(F.col("category"), "biolink:InformationContentEntity")
+    ).select(F.col("id").alias("src"))
+    hits = hits.join(sources, hits["subject"] == sources["src"], "left_semi")
+    return hits.groupBy(F.col("object").alias("part_id")).agg(
+        F.countDistinct("subject").alias("n_orders")
     )
 
 
@@ -177,6 +225,26 @@ def kg_reorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def kg_detach_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(maintenance rewrite exposure) the degree-0 DETACH DELETE with
+    LIMIT (ref docs/cypher-cmds.txt:112-115) as a pure read-side audit:
+    counts before/after deleting the 50 lowest-id degree-0 nodes. The
+    materialized rewrite (snapshot + lineage) lives in
+    kgeng.graph.maintenance; this query grades its anti-join
+    semantics against the DuckDB oracle."""
+    from kgeng.graph.maintenance import degree0_nodes, detach_delete
+
+    nodes = kg_nodes(spark, sf_dir)
+    edges = kg_edges(spark, sf_dir)
+    victims = degree0_nodes(nodes, edges, limit=50).select("id")
+    new_nodes, new_edges = detach_delete(nodes, edges, victims)
+    before = nodes.agg(F.count("*").alias("n_nodes_before"))
+    after_n = new_nodes.agg(F.count("*").alias("n_nodes_after"))
+    after_e = new_edges.agg(F.count("*").alias("n_edges_after"))
+    nv = victims.agg(F.count("*").alias("n_victims"))
+    return before.crossJoin(after_n).crossJoin(after_e).crossJoin(nv)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_predicate_inventory": kg_predicate_inventory,
     "kg_two_hop_closure": kg_two_hop_closure,
     "kg_degree0_audit": kg_degree0_audit,
+    "kg_detach_delete_audit": kg_detach_delete_audit,
     "kg_reorder_audit": kg_reorder_audit,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,

@@ -456,13 +456,22 @@ ORACLES: dict[str, str] = {
     """,
     "kg_one_hop": KG_PRELUDE
     + """
+    , anchor AS (
+      SELECT min(id) AS aid FROM nodes
+      WHERE list_contains(category, 'biolink:Disease')
+    ),
+    named AS (
+      SELECT id FROM nodes WHERE list_contains(category, 'biolink:NamedThing')
+    )
     SELECT predicate, primary_knowledge_source, direction, COUNT(*) AS n
     FROM (
-      SELECT predicate, primary_knowledge_source, 'out' AS direction
-      FROM edges WHERE subject = 'CUST:1'
+      SELECT e.predicate, e.primary_knowledge_source, 'out' AS direction
+      FROM edges e, anchor
+      WHERE e.subject = anchor.aid AND e.object IN (SELECT id FROM named)
       UNION ALL
-      SELECT predicate, primary_knowledge_source, 'in' AS direction
-      FROM edges WHERE object = 'CUST:1'
+      SELECT e.predicate, e.primary_knowledge_source, 'in' AS direction
+      FROM edges e, anchor
+      WHERE e.object = anchor.aid AND e.subject IN (SELECT id FROM named)
     )
     GROUP BY predicate, primary_knowledge_source, direction
     """,
@@ -472,15 +481,28 @@ ORACLES: dict[str, str] = {
     """,
     "kg_two_hop_closure": KG_PRELUDE
     + """
-    , closure AS (
-      SELECT 'BRND:Brand#13' AS member
-      UNION ALL
-      SELECT DISTINCT subject FROM edges
-      WHERE predicate = 'biolink:subclass_of' AND object = 'BRND:Brand#13'
+    , root AS (
+      SELECT id AS member FROM nodes
+      WHERE id = 'BRND:Brand#13'
+        AND (list_contains(category, 'biolink:GeneFamily')
+             OR list_contains(category, 'biolink:Phenomenon'))
+    ),
+    closure AS (
+      SELECT member FROM root
+      UNION
+      SELECT DISTINCT e.subject FROM edges e JOIN root r ON e.object = r.member
+      WHERE e.predicate = 'biolink:subclass_of'
+    ),
+    closure_named AS (
+      SELECT member FROM closure
+      WHERE member IN (SELECT id FROM nodes
+                       WHERE list_contains(category, 'biolink:NamedThing'))
     )
     SELECT e.object AS part_id, COUNT(DISTINCT e.subject) AS n_orders
-    FROM edges e JOIN closure c ON e.object = c.member
-    WHERE e.predicate = 'biolink:contains'
+    FROM edges e JOIN closure_named c ON e.object = c.member
+    WHERE e.predicate IN ('biolink:contains', 'biolink:supplied_by')
+      AND e.subject IN (SELECT id FROM nodes
+                        WHERE list_contains(category, 'biolink:InformationContentEntity'))
     GROUP BY e.object
     """,
     "kg_degree0_audit": KG_PRELUDE
@@ -492,6 +514,21 @@ ORACLES: dict[str, str] = {
       WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.object = n.id)
     )
     GROUP BY node_class
+    """,
+    "kg_detach_delete_audit": KG_PRELUDE
+    + """
+    , victims AS (
+      SELECT id FROM nodes n
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.object = n.id)
+      ORDER BY id LIMIT 50
+    )
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes_before,
+           (SELECT COUNT(*) FROM nodes
+            WHERE id NOT IN (SELECT id FROM victims)) AS n_nodes_after,
+           (SELECT COUNT(*) FROM edges
+            WHERE subject NOT IN (SELECT id FROM victims)
+              AND object NOT IN (SELECT id FROM victims)) AS n_edges_after,
+           (SELECT COUNT(*) FROM victims) AS n_victims
     """,
     "kg_reorder_audit": KG_PRELUDE
     + """

@@ -126,6 +126,16 @@ _TYPE_MAP: dict[str, T.DataType] = {
 
 ARRAY_TAGS = {"float[]", "string[]", "label"}
 
+# Columns the reference forces to int32 BY NAME, independent of the
+# header tag (chem descriptors on nodes, one edge column —
+# Kuzu/kuzu_build_graph_csv.py:109-110,122). The typed-header scan
+# applies the same override when given these lists.
+NODE_INT32_COLS: list[str] = [
+    "lipinski", "arom_c", "sp3_c", "sp2_c", "sp_c", "halogen",
+    "hetero_sp2_c", "rotb", "o_n", "oh_nh", "rgb", "fda_labels",
+]
+EDGE_INT32_COLS: list[str] = ["distance_to_feature"]
+
 
 def sanitize_column_name(name: str) -> str:
     """Column-name sanitization, same contract as the reference
@@ -134,14 +144,23 @@ def sanitize_column_name(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", name)
 
 
-def parse_typed_header(header_line: str) -> tuple[T.StructType, dict[str, str]]:
+def parse_typed_header(
+    header_line: str, force_int32: list[str] | None = None
+) -> tuple[T.StructType, dict[str, str]]:
     """Parse one tab-delimited ``name:type`` header line into a
     ``StructType`` plus a ``{column: type_tag}`` map.
+
+    ``force_int32`` narrows the named columns to 32-bit ints REGARDLESS
+    of their header tag — the reference's by-name ``astype('int32')``
+    override for the chem-descriptor columns
+    (``Kuzu/kuzu_build_graph_csv.py:109-110,122``); pass
+    ``NODE_INT32_COLS`` / ``EDGE_INT32_COLS`` for parity.
 
     Unknown tags raise immediately — the reference instead emits a
     poison ``"ERROR: No data type recognised"`` DDL string
     (``kuzu_build_graph_csv.py:531``); failing fast is strictly safer.
     """
+    forced = {sanitize_column_name(c) for c in (force_int32 or [])}
     fields: list[T.StructField] = []
     tags: dict[str, str] = {}
     for token in header_line.rstrip("\n").split("\t"):
@@ -154,12 +173,18 @@ def parse_typed_header(header_line: str) -> tuple[T.StructType, dict[str, str]]:
         if tag_l not in _TYPE_MAP:
             raise ValueError(f"No data type recognised for header tag {tag!r} (column {name!r})")
         col = sanitize_column_name(name.strip())
-        fields.append(T.StructField(col, _TYPE_MAP[tag_l], True))
-        tags[col] = tag_l
+        if col in forced:
+            fields.append(T.StructField(col, T.IntegerType(), True))
+            tags[col] = "int"
+        else:
+            fields.append(T.StructField(col, _TYPE_MAP[tag_l], True))
+            tags[col] = tag_l
     return T.StructType(fields), tags
 
 
-def read_typed_header_file(path: str) -> tuple[T.StructType, dict[str, str]]:
+def read_typed_header_file(
+    path: str, force_int32: list[str] | None = None
+) -> tuple[T.StructType, dict[str, str]]:
     """Read the first line of a ``*.tab-hdr`` file and parse it."""
     with open(path, encoding="utf-8") as fh:
-        return parse_typed_header(fh.readline())
+        return parse_typed_header(fh.readline(), force_int32=force_int32)

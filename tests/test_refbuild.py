@@ -109,3 +109,134 @@ def test_merged_json_sink(spark, build, tmp_path):
     assert rel["start"] and rel["end"] and rel["label"].startswith("biolink:")
     # edge ids unique (O2)
     assert back.filter("type='relationship'").select("id").distinct().count() == counts["relationship"]
+
+
+def test_copy_manifest_globs_match_files(build):
+    """Every COPY statement's glob must match at least one produced
+    file — the drive-the-same-DB manifest has to load the bins it
+    points at (ADVICE r1)."""
+    import re
+
+    for stmt in build["copy_manifest"]:
+        m = re.search(r"FROM '([^']+)'", stmt)
+        assert m, stmt
+        assert glob.glob(m.group(1)), f"COPY glob matches nothing: {stmt}"
+
+
+def test_cypher_load_csv_codegen_golden():
+    """E3 parity: per-tag cast emission matches the reference's
+    get_conversion semantics (MemGraph/mg_build_individual_json.py:
+    233-267)."""
+    from kgeng.graph.refbuild import cypher_load_csv, cypher_property_map
+
+    tags = {
+        "id": "id",
+        "name": "string",
+        "is_active": "boolean",
+        "score": "float",
+        "count": "int",
+        "category": "label",
+        "tags": "string[]",
+        "weights": "float[]",
+    }
+    out = cypher_property_map(tags)
+    assert out.startswith("{\n") and out.endswith("\n}")
+    assert "\tid: row.id," in out
+    assert "\tname: row.name," in out
+    assert "\tis_active: toBoolean(row.is_active)," in out
+    assert "\tscore: toFloat(row.score)," in out
+    assert "\tcount: toInteger(row.count)," in out
+    assert "\tcategory: split(row.category, ';')," in out
+    assert "\ttags: split(row.tags, ';')," in out
+    assert "toFloat(x)" in out and "split(coalesce(row.weights, ''), ';')" in out
+    # sanitization: non-word chars become _
+    weird = cypher_property_map({"p-value:x": "float"})
+    assert "p_value_x: toFloat(row.p_value_x)" in weird
+    node_stmt = cypher_load_csv("/tmp/nodes.csv", {"id": "id"}, kind="node")
+    assert node_stmt.startswith('LOAD CSV FROM "/tmp/nodes.csv" WITH HEADER AS row')
+    assert "CREATE (n: Node {" in node_stmt
+    edge_stmt = cypher_load_csv("/tmp/edges.csv", {"subject": "start_id"}, kind="edge")
+    assert "MATCH (a: Node {id: row.subject}), (b: Node {id: row.object})" in edge_stmt
+
+
+def test_force_int32_by_name(spark, kgx_paths):
+    """The reference forces chem-descriptor columns to int32 by NAME,
+    not header tag (Kuzu/kuzu_build_graph_csv.py:109-110,122)."""
+    from kgeng.schemas import parse_typed_header
+
+    schema, tags = parse_typed_header(
+        "id:ID\tlipinski:float\tother:float", force_int32=["lipinski"]
+    )
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert by_name["lipinski"] == "int"
+    assert by_name["other"] == "double"
+    assert tags["lipinski"] == "int"
+    nodes = read_kgx_csv(
+        spark, kgx_paths["nodes_csv"], kgx_paths["nodes_hdr"], force_int32=["lipinski"]
+    )
+    assert dict(nodes.dtypes)["lipinski"] == "int"
+
+
+def test_degree0_detach_delete_rewrite(spark, kgx_paths, tmp_path):
+    """Materialized degree-0 delete: counts drop by exactly the victim
+    set, incident edges vanish, and a rerun against the same input
+    resumes from the committed lineage row without rewriting."""
+    import os
+
+    from kgeng.graph.maintenance import degree0_nodes, detach_delete, run_degree0_delete
+
+    nodes_dir = str(tmp_path / "nodes_pq")
+    edges_dir = str(tmp_path / "edges_pq")
+    nodes = read_kgx_csv(spark, kgx_paths["nodes_csv"], kgx_paths["nodes_hdr"])
+    edges = read_kgx_csv(spark, kgx_paths["edges_csv"], kgx_paths["edges_hdr"])
+    edges = edges.withColumnRenamed("subject", "subject").select(
+        F.col("subject"), F.col("predicate"), F.col("object")
+    )
+    nodes.write.parquet(nodes_dir)
+    edges.write.parquet(edges_dir)
+    out = str(tmp_path / "snap")
+    rec = run_degree0_delete(spark, nodes_dir, edges_dir, out, limit=10)
+    m = rec["metrics"]
+    assert m["n_deleted"] <= 10
+    assert m["n_nodes_after"] == m["n_nodes_before"] - m["n_deleted"]
+    # no surviving edge touches a deleted node
+    new_nodes = spark.read.parquet(f"{out}/nodes")
+    new_edges = spark.read.parquet(f"{out}/edges")
+    deleted = (
+        spark.read.parquet(nodes_dir)
+        .join(new_nodes.select("id"), "id", "left_anti")
+        .select("id")
+    )
+    touching = new_edges.join(
+        deleted.select(F.col("id").alias("subject")), "subject", "left_semi"
+    ).count() + new_edges.join(
+        deleted.select(F.col("id").alias("object")), "object", "left_semi"
+    ).count()
+    assert touching == 0
+    # resume: second run returns the SAME committed record, no rewrite
+    mtime = os.path.getmtime(f"{out}/nodes/_SUCCESS")
+    rec2 = run_degree0_delete(spark, nodes_dir, edges_dir, out, limit=10)
+    assert rec2["committed_at"] == rec["committed_at"]
+    assert os.path.getmtime(f"{out}/nodes/_SUCCESS") == mtime
+    # pure-DataFrame API sanity: victims really have degree_in 0
+    victims = degree0_nodes(nodes, edges)
+    assert victims.join(
+        edges.select(F.col("object").alias("id")).distinct(), "id", "left_semi"
+    ).count() == 0
+    nn, ne = detach_delete(nodes, edges, victims.select("id"))
+    assert nn.count() + victims.count() == nodes.count()
+
+
+def test_detach_delete_edge_batch(spark, kgx_paths):
+    from kgeng.graph.maintenance import detach_delete_edge_batch
+
+    nodes = read_kgx_csv(spark, kgx_paths["nodes_csv"], kgx_paths["nodes_hdr"])
+    edges = read_kgx_csv(spark, kgx_paths["edges_csv"], kgx_paths["edges_hdr"])
+    new_nodes, new_edges = detach_delete_edge_batch(nodes, edges, limit=25)
+    batch_subjects = {
+        r["subject"]
+        for r in edges.orderBy("subject", "predicate", "object").limit(25).collect()
+    }
+    # every batch subject node is gone, along with all its edges
+    assert new_nodes.filter(F.col("id").isin(list(batch_subjects))).count() == 0
+    assert new_edges.filter(F.col("subject").isin(list(batch_subjects))).count() == 0
