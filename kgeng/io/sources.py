@@ -134,3 +134,38 @@ def write_merged_json(
     )
     merged = node_recs.unionByName(edge_recs, allowMissingColumns=True)
     merged.write.mode(mode).json(path)
+
+
+def write_merged_json_array(
+    nodes: DataFrame, edges: DataFrame, out_file: str, tmp_dir: str | None = None
+) -> int:
+    """S7 FULL parity: the MemGraph ``import_util.json`` single-array
+    framing (``mg_build_merge_json.py:90-170`` wraps every record in
+    one top-level JSON array).
+
+    Single-array framing is inherently one file, so the distributed
+    part is the JSONL write above; the framing pass streams the part
+    files into ``out_file`` line-by-line on the driver (no collect, no
+    row parsing — bounded by local disk, an export artifact for
+    drive-the-same-DB parity, not a cluster-scale sink). Returns the
+    record count."""
+    import glob as _glob
+    import os
+
+    tmp = tmp_dir or out_file + ".jsonl.tmp"
+    write_merged_json(nodes, edges, tmp)
+    n = 0
+    with open(out_file, "w", encoding="utf-8") as out:
+        out.write("[\n")
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+            with open(part, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    if n:
+                        out.write(",\n")
+                    out.write(line)
+                    n += 1
+        out.write("\n]\n")
+    return n

@@ -240,3 +240,26 @@ def test_detach_delete_edge_batch(spark, kgx_paths):
     # every batch subject node is gone, along with all its edges
     assert new_nodes.filter(F.col("id").isin(list(batch_subjects))).count() == 0
     assert new_edges.filter(F.col("subject").isin(list(batch_subjects))).count() == 0
+
+
+def test_merged_json_single_array_framing(spark, build, tmp_path):
+    """S7 full parity: the import_util.json single-array framing is
+    valid JSON, one record per input row."""
+    import json
+
+    from kgeng.io.sources import write_merged_json_array
+
+    nodes = build["nodes"].withColumnRenamed("labels", "category").drop("node_class")
+    edges = (
+        build["edges"]
+        .withColumnRenamed("label", "predicate")
+        .withColumnRenamed("from", "subject")
+        .withColumnRenamed("to", "object")
+    )
+    out_file = str(tmp_path / "import_util.json")
+    n = write_merged_json_array(nodes, edges, out_file, tmp_dir=str(tmp_path / "jl"))
+    with open(out_file, encoding="utf-8") as fh:
+        recs = json.load(fh)
+    assert isinstance(recs, list) and len(recs) == n
+    kinds = {r["type"] for r in recs}
+    assert kinds == {"node", "relationship"}
