@@ -142,6 +142,22 @@ _LANG_PRED_SQL = """
 """
 
 
+def _hex_to_int_sql(expr: str, n_digits: int) -> str:
+    """Generated DuckDB parse of an ``n_digits``-char lowercase-hex
+    string expression into a BIGINT (polynomial over digit values)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1) * {16 ** (n_digits - 1 - j)}"
+        for j in range(n_digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# mirrored from kgeng.textops.dedup (MINHASH_A/B/P)
+_MINHASH_P = 2_147_483_647
+_MINHASH_A = [(2_654_435_761 * (s + 1)) % _MINHASH_P for s in range(16)]
+_MINHASH_B = [(40_503 * (s + 17) + 1) % _MINHASH_P for s in range(16)]
+
+
 def _bucket_sql(v: str, bits: int = 12) -> str:
     """DuckDB twin of kgeng.textops.similarity._lsh_bucket: bit h of
     the bucket is the sign of Σ_d v[d]·w(h,d), with w(h,d) the top bit
@@ -190,9 +206,16 @@ def _simhash_sql() -> str:
     dig AS (SELECT doc_id, {digs} FROM tok),
     bits AS (SELECT doc_id, {bit_sums} FROM dig GROUP BY doc_id),
     sim AS (SELECT doc_id, {sim_concat} AS sim_bits FROM bits),
-    bands AS (
+    bands_all AS (
         SELECT doc_id, sim_bits, band, substr(sim_bits, band * 16 + 1, 16) AS key
         FROM sim, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    -- hot-bucket cap, mirroring kgeng.textops.dedup.MAX_SIMHASH_BUCKET
+    hot AS (
+        SELECT band, key FROM bands_all GROUP BY band, key HAVING COUNT(*) > 200
+    ),
+    bands AS (
+        SELECT x.* FROM bands_all x ANTI JOIN hot h ON x.band = h.band AND x.key = h.key
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -266,15 +289,24 @@ ORACLES: dict[str, str] = {
     SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
     """,
     "dedup_minhash_lsh": DUP_TEXT_PRELUDE
-    + """
-    , sig AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-      FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)
+    + f"""
+    , based AS (
+      SELECT doc_id, {_hex_to_int_sql("substr(md5(sh), 1, 7)", 7)} AS x FROM sh
+    ),
+    seeds AS (
+      SELECT seed,
+             CASE seed {" ".join(f"WHEN {s} THEN {a}" for s, a in enumerate(_MINHASH_A))} END AS a,
+             CASE seed {" ".join(f"WHEN {s} THEN {b}" for s, b in enumerate(_MINHASH_B))} END AS b
+      FROM (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (
+      SELECT doc_id, seed, MIN((a * x + b) % {_MINHASH_P}) AS mh
+      FROM based, seeds
       GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
       FROM sig GROUP BY doc_id, seed // 4
     ),
     cands AS (

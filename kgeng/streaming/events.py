@@ -75,6 +75,28 @@ def streaming_user_totals(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: incremental ingest of event files with
+    duplicates dropped by key within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keys the state store on
+    event_id and expires entries past the watermark — the bounded-state
+    streaming twin of ``dedup_exact``). The pattern a training-data
+    pipeline uses to dedup a document firehose: key = content
+    fingerprint, watermark = ingestion-time horizon."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap > 30 min starts a new session;
     per-user session count and mean session length (rows)."""

@@ -24,13 +24,15 @@ LSH_BITS = 12
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition at ingest: the compressed source is one split, and
-    # the per-vector norm/bucket/dot arithmetic is the hot loop
-    return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    # repartition at ingest ONLY when the compressed source landed in
+    # fewer splits than cores (the per-vector norm/bucket/dot
+    # arithmetic is the hot loop); a well-split table is left alone
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    return e
 
 
 def _dot(a, b):

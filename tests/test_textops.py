@@ -177,3 +177,32 @@ def test_streaming_event_counts(spark):
     got = spark.sql("SELECT sum(n) AS total FROM ev_out").collect()[0]["total"]
     expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got == expected
+
+
+def test_streaming_dedup_events(spark):
+    """A duplicated input file must collapse to distinct event_ids —
+    streaming exact dedup with bounded (watermarked) state."""
+    import os
+    import shutil
+
+    from kgeng.streaming.events import streaming_dedup_events
+
+    stream_dir = "/root/repo/.fixtures/stream_events3"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events_a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events_b.parquet")
+    q = (
+        streaming_dedup_events(spark, stream_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
+    distinct_ids = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").distinct().count()
+    )
+    assert got == distinct_ids
