@@ -38,7 +38,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "360000"))
 PAGE_FILLER_KB = 18  # ~20KB pages: realistic per-page parse cost
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 # N and 4N cores for the scaling-efficiency criterion. 1,4 by default:

@@ -215,17 +215,31 @@ def page_warc_ts(i: int) -> datetime.datetime:
 
 
 def write_pages(path: str, n_pages: int, mult: int = 1, filler_kb: int = 0) -> str:
+    """Chunked writer: a bench corpus can be hundreds of thousands of
+    ~19 KB pages — stream row-group-sized chunks instead of holding
+    the whole table in memory."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tbl = pa.table(
-        {
-            "url": pa.array([page_url(i) for i in range(n_pages)], pa.string()),
-            "warc_ts": pa.array([page_warc_ts(i) for i in range(n_pages)], pa.timestamp("us")),
-            "html": pa.array([page_html(i, mult, filler_kb) for i in range(n_pages)], pa.binary()),
-            "text": pa.array([page_text(i, mult) for i in range(n_pages)], pa.string()),
-            "lang": pa.array([page_lang(i) for i in range(n_pages)], pa.string()),
-        }
-    )
-    pq.write_table(tbl, path)
+    chunk = 20_000
+    writer = None
+    try:
+        for lo in range(0, n_pages, chunk):
+            hi = min(lo + chunk, n_pages)
+            rng = range(lo, hi)
+            tbl = pa.table(
+                {
+                    "url": pa.array([page_url(i) for i in rng], pa.string()),
+                    "warc_ts": pa.array([page_warc_ts(i) for i in rng], pa.timestamp("us")),
+                    "html": pa.array([page_html(i, mult, filler_kb) for i in rng], pa.binary()),
+                    "text": pa.array([page_text(i, mult) for i in rng], pa.string()),
+                    "lang": pa.array([page_lang(i) for i in rng], pa.string()),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
     return path
 
 

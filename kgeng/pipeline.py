@@ -188,12 +188,20 @@ class Pipeline:
         dictionary = self.spark.read.parquet(self.dict_path)
         cmap = F.broadcast(self._read(cmap_path))
 
-        # -- edges: two-phase salted aggregation over the hub-skewed key
+        # -- edges: two-phase salted aggregation over the hub-skewed key.
+        # publications are capped to the MAX_PUBLICATIONS smallest urls
+        # in BOTH phases: the global smallest-10 are always among each
+        # bucket's smallest-10 (distributed top-k merge), so the result
+        # is identical to slicing after a full collect — but per-key
+        # aggregation state is bounded at 16×10 urls instead of one url
+        # per source page, which is what keeps a hub edge with millions
+        # of source pages from blowing up the reducer.
         salted = triples.withColumn(
             "salt", F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
         )
         partial = salted.groupBy("subject", "predicate", "object", "salt").agg(
-            F.collect_set("url").alias("urls"), F.count("*").alias("n")
+            F.slice(F.array_sort(F.collect_set("url")), 1, MAX_PUBLICATIONS).alias("urls"),
+            F.count("*").alias("n"),
         )
         edges = (
             partial.groupBy("subject", "predicate", "object")

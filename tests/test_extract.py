@@ -90,3 +90,31 @@ def test_spark_triples_count(spark, pages_path):
         if fixtures.page_lang(i) == "en"
     )
     assert n == expected
+
+
+def test_scanner_matches_reference_parser():
+    """The fast scanner kernel and the html.parser reference must
+    agree byte-for-byte over the fixture corpus and assorted junk."""
+    from kgeng.extract.text import extract_text_py, extract_text_py_reference
+
+    for i in range(0, 400, 7):
+        h = fixtures.page_html(i, mult=3, filler_kb=2)
+        assert extract_text_py(h) == extract_text_py_reference(h), i
+    junk = [
+        b"",
+        b"<p>a &amp; b</p><script><p>x</p></script>",
+        b"\xff\xfe<p>ok</p>",
+        b"<p>unclosed paragraph",
+        b"<p>a < b</p>",
+        b"<nav><p>skip</p></nav><p>keep</p>",
+        b"<p>one<p>nested</p>two</p>",
+        b"<!-- <p>no</p> --><p>yes</p>",
+        b"<P>Upper</P>",
+        b"<p >spaced attr</p ><p class='x'>attr</p>",
+        b"<style>p { color: red }</style><p>body</p>",
+        b"<p>text &lt;tag&gt; more</p>",
+        b"<br/><p>after void</p><hr>",
+        b"<template><p>no</p></template><p>yes2</p>",
+    ]
+    for h in junk:
+        assert extract_text_py(h) == extract_text_py_reference(h), h
