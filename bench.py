@@ -38,7 +38,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "360000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "720000"))
 PAGE_FILLER_KB = 18  # ~20KB pages: realistic per-page parse cost
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 # N and 4N cores for the scaling-efficiency criterion. 1,4 by default:
@@ -78,12 +78,15 @@ HEADLINE = [
 
 
 def bench_corpus() -> tuple[str, str]:
-    pages = os.path.join(FIX, f"bench_pages_{BENCH_PAGES}_f{PAGE_FILLER_KB}.parquet")
+    # gzip html payloads: the shape Common-Crawl WARC bodies arrive in
+    # (and what keeps the JVM->Python Arrow channel byte volume ~20x
+    # smaller than the decoded documents)
+    pages = os.path.join(FIX, f"bench_pages_{BENCH_PAGES}_f{PAGE_FILLER_KB}_gz.parquet")
     dic = os.path.join(FIX, "bench_dict.parquet")
     from kgeng import fixtures
 
     if not os.path.exists(pages):
-        fixtures.write_pages(pages, BENCH_PAGES, mult=5, filler_kb=PAGE_FILLER_KB)
+        fixtures.write_pages(pages, BENCH_PAGES, mult=5, filler_kb=PAGE_FILLER_KB, gzip_html=True)
     if not os.path.exists(dic):
         fixtures.write_dictionary(dic)
     return pages, dic
@@ -139,7 +142,7 @@ def pipeline_once(cpus: int) -> dict:
     }
 
 
-def pipeline_attempt(cpus: int, timeout: int = 1200) -> dict | None:
+def pipeline_attempt(cpus: int, timeout: int = 2400) -> dict | None:
     """One pipeline measurement in a fresh JVM; None on any failure
     (timeout, nonzero exit, unparseable output) — the caller skips
     failed attempts instead of dying mid-bench."""
@@ -195,7 +198,7 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
         pairs_done += 1
         if pairs_done >= MAX_SCALING_PAIRS:
             break
-        est_next = (lo["seconds"] if lo else 400.0) + (hi["seconds"] if hi else 150.0)
+        est_next = (lo["seconds"] if lo else 900.0) + (hi["seconds"] if hi else 280.0)
         if pairs_done >= min_pairs and time.time() - t0 + est_next > budget:
             break
         if pairs_done < min_pairs and time.time() - t0 + est_next > budget * 1.5:
@@ -233,7 +236,7 @@ def main() -> None:
     pipeline: dict = {}
     if not args.skip_scaling:
         n_lo, n_hi = SCALE_LEVELS
-        budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
         pipeline = run_scaling(n_lo, n_hi, budget)
 
     queries = run_queries()

@@ -87,7 +87,15 @@ def extract_text_py_reference(html_bytes: bytes | None) -> str | None:
     differential-tested against each other over the fixture corpus."""
     if html_bytes is None:
         return None
-    doc = bytes(html_bytes).decode("utf-8", errors="replace")
+    raw = bytes(html_bytes)
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            raw = gzip.decompress(raw)
+        except Exception:
+            pass
+    doc = raw.decode("utf-8", errors="replace")
     p = _ParagraphExtractor()
     try:
         p.feed(doc)
@@ -117,10 +125,24 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     Malformed input is handled deterministically: a stray ``<`` is
     text (the html.parser behavior), ``<p/>`` opens and closes, an
     unterminated comment or CDATA element runs to end-of-document.
+
+    Gzip payloads (Common-Crawl WARC bodies arrive gzipped) are
+    decompressed transparently on the magic bytes — keeping the
+    column compressed end-to-end means the JVM→Python Arrow channel
+    ships ~20× fewer bytes for boilerplate-heavy pages, and the
+    decompress cost rides inside the perfectly-parallel kernel.
     """
     if html_bytes is None:
         return None
-    doc = bytes(html_bytes).decode("utf-8", errors="replace")
+    raw = bytes(html_bytes)
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            raw = gzip.decompress(raw)
+        except Exception:
+            pass  # not actually gzip: treat the raw bytes as the doc
+    doc = raw.decode("utf-8", errors="replace")
     from html import unescape
 
     paras: list[str] = []

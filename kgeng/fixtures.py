@@ -214,11 +214,28 @@ def page_warc_ts(i: int) -> datetime.datetime:
 # ---------------------------------------------------------------------------
 
 
-def write_pages(path: str, n_pages: int, mult: int = 1, filler_kb: int = 0) -> str:
+def write_pages(
+    path: str, n_pages: int, mult: int = 1, filler_kb: int = 0, gzip_html: bool = False
+) -> str:
     """Chunked writer: a bench corpus can be hundreds of thousands of
     ~19 KB pages — stream row-group-sized chunks instead of holding
-    the whole table in memory."""
+    the whole table in memory.
+
+    ``gzip_html=True`` stores each html payload gzip-compressed, the
+    shape Common-Crawl WARC response bodies actually arrive in; the
+    extraction kernel decompresses transparently on the magic bytes.
+    ``mtime=0`` pins the gzip header so payloads stay deterministic.
+    """
+    import gzip as _gzip
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def html_of(i: int) -> bytes:
+        h = page_html(i, mult, filler_kb)
+        if gzip_html:
+            h = _gzip.compress(h, compresslevel=6, mtime=0)
+        return h
+
     chunk = 20_000
     writer = None
     try:
@@ -229,7 +246,7 @@ def write_pages(path: str, n_pages: int, mult: int = 1, filler_kb: int = 0) -> s
                 {
                     "url": pa.array([page_url(i) for i in rng], pa.string()),
                     "warc_ts": pa.array([page_warc_ts(i) for i in rng], pa.timestamp("us")),
-                    "html": pa.array([page_html(i, mult, filler_kb) for i in rng], pa.binary()),
+                    "html": pa.array([html_of(i) for i in rng], pa.binary()),
                     "text": pa.array([page_text(i, mult) for i in rng], pa.string()),
                     "lang": pa.array([page_lang(i) for i in rng], pa.string()),
                 }

@@ -93,7 +93,10 @@ class Pipeline:
             # a row budget) — spread the UDF stage across the cluster
             # explicitly. On Iceberg this is bucket(url_hash) at the
             # table layout level instead.
-            target = self.spark.sparkContext.defaultParallelism * 2
+            # 6 waves of fine partitions: coarse partitioning (2 waves)
+            # turns any scheduler jitter into a straggler tail on the
+            # longest stage; finer slices let the last wave pack tight
+            target = self.spark.sparkContext.defaultParallelism * 6
             return pages.repartition(target, "url").select(
                 "url", "lang", extracted_text(F.col("html")).alias("text")
             )

@@ -118,3 +118,19 @@ def test_scanner_matches_reference_parser():
     ]
     for h in junk:
         assert extract_text_py(h) == extract_text_py_reference(h), h
+
+
+def test_gzip_payload_transparent_decompress():
+    """WARC-shaped gzip html payloads must extract byte-identically to
+    their plain twins (both kernels)."""
+    import gzip
+
+    from kgeng.extract.text import extract_text_py, extract_text_py_reference
+
+    for i in [0, 3, 42]:
+        plain = fixtures.page_html(i, mult=2, filler_kb=1)
+        gz = gzip.compress(plain, compresslevel=6, mtime=0)
+        assert extract_text_py(gz) == fixtures.page_text(i, mult=2)
+        assert extract_text_py_reference(gz) == fixtures.page_text(i, mult=2)
+    # non-gzip bytes that happen to start ambiguously stay raw
+    assert extract_text_py(b"\x1f\x8bnot really gzip <p>x</p>") is not None
