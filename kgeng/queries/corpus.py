@@ -343,9 +343,12 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
+    doc_domain_quota,
     doc_fingerprint,
     doc_lang_id,
+    doc_pii_scrub,
     doc_quality,
+    doc_repetition,
     doc_token_stats,
 )
 from kgeng.textops.dedup import (  # noqa: E402
@@ -364,6 +367,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_domain_quota": doc_domain_quota,
+    "doc_repetition": doc_repetition,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -276,6 +276,48 @@ ORACLES: dict[str, str] = {
     SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(text))) AS n_distinct_fp
     FROM documents GROUP BY source
     """,
+    # planted-PII scrub, mirroring kgeng.textops.analysis.doc_pii_scrub
+    # (DuckDB regexp_replace needs the 'g' flag to replace every match,
+    # which is Spark's default)
+    "doc_pii_scrub": """
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                  || ' or +1-555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                  || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_fp
+    FROM planted
+    """,
+    "doc_domain_quota": """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+    "doc_repetition": """
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1]
+             )) AS bg
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+    ),
+    per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count,
+           floor(MAX(c) * 1.0 / SUM(c) * 10000) / 10000 AS repetition_ratio
+    FROM per GROUP BY doc_id
+    """,
     "dedup_exact": """
     WITH corpus AS (
       SELECT doc_id, text FROM documents

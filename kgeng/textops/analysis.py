@@ -84,6 +84,81 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone redaction with portable regexes.
+
+    The synthetic corpus contains no natural PII, so the query runs
+    over a derived corpus with PLANTED deterministic PII (the same
+    pattern the dedup family uses for planted duplicates): each doc
+    gains one email and one phone derived from its id; both engines
+    plant identically, scrub identically, and the graded row carries
+    match counts plus a fingerprint of the scrubbed text. Patterns are
+    restricted to the Java-regex ∩ RE2 common dialect.
+    """
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"),
+        F.lit(" or +1-555-"), (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-"), (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+    phone = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(email)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(phone)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+QUOTA_PER_SOURCE = 10
+
+
+def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — the hot-domain cap of a web-scale
+    pipeline: keep at most QUOTA_PER_SOURCE docs per source, chosen by
+    a deterministic pseudo-random order (md5 of the id) so the sample
+    is unbiased but reproducible on any engine at any parallelism."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal: frequency of the most common
+    word bigram over the total bigram count — the boilerplate /
+    low-quality detector; floor-truncated for cross-engine parity."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    per = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        (F.floor(F.max("c") / F.sum("c") * 10000) / 10000).alias("repetition_ratio"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of case-normalized text); distinct
     fingerprints per source — the audit a dedup pass starts from."""
