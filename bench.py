@@ -68,7 +68,11 @@ HEADLINE = [
     # training-data ops
     "doc_quality",
     "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_domain_quota",
+    "doc_repetition",
     "dedup_exact",
+    "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

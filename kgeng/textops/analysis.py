@@ -20,7 +20,12 @@ LANG_PROFILES: list[tuple[str, list[str]]] = [
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread a single-split compressed source before token/bigram
+    # explodes (same ingest medicine as kgeng.textops.dedup)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d
 
 
 def tokens_col(text: Column) -> Column:
