@@ -75,6 +75,81 @@ def streaming_user_totals(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming sessionization with event-time state timeout — the
+    incremental twin of :func:`q_events_sessions`.
+
+    ``applyInPandasWithState`` keys state by user; a session closes
+    when a later event arrives past the gap, or when the watermark
+    passes the session's timeout (``EventTimeTimeout``) — the pattern
+    for emitting completed sessions from an unbounded stream without
+    unbounded state. Emits one row per CLOSED session
+    ``(user_id, session_start, session_end, n_events)``; sessions
+    still open when the stream pauses stay in state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def update(key, pdf_iter, state):
+        closed: list[tuple[int, float, float, int]] = []
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((uid, start, last, n))
+            state.remove()
+        else:
+            ts: list[float] = []
+            for pdf in pdf_iter:
+                ts.extend(float(x) for x in pdf["ts"].astype("int64") // 10**9)
+            ts.sort()
+            cur = state.get if state.exists else None
+            for t in ts:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_s:
+                    closed.append((uid, cur[0], cur[1], cur[2]))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(int((cur[1] + gap_s) * 1000))
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [c[1] for c in closed],
+                "session_end": [c[2] for c in closed],
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, session_start double, session_end double, n_events long",
+            stateStructType="start double, last double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_dedup_events(
     spark: SparkSession, events_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -206,3 +206,75 @@ def test_streaming_dedup_events(spark):
         spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").distinct().count()
     )
     assert got == distinct_ids
+
+
+def test_streaming_sessions_match_batch(spark):
+    """Closed sessions emitted by the streaming sessionizer must agree
+    exactly with the batch sessionization over the same events (every
+    emitted session is a batch session with identical bounds/counts);
+    sessions still open at end-of-stream legitimately stay in state."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kgeng.streaming.events import SESSION_GAP_MINUTES, streaming_sessions
+
+    src = f"{SF_DIR}/events.parquet"
+    stream_dir = "/root/repo/.fixtures/stream_events4"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir, exist_ok=True)
+    # two files so the second batch's watermark can time out sessions
+    # from the first
+    ev = spark.read.parquet(src)
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    import glob as _glob
+
+    for name, part_df in [
+        ("a", ev.filter(F.col("event_id") <= mid)),
+        ("b", ev.filter(F.col("event_id") > mid)),
+    ]:
+        tmp = f"{stream_dir}_tmp_{name}"
+        part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{stream_dir}/{name}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        streaming_sessions(spark, stream_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_stream"
+    ).collect()
+
+    # batch truth: same gap rule over floor-second epochs
+    gap = SESSION_GAP_MINUTES * 60
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    flagged = ev.withColumn("ep", epoch).withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w)).isNull()
+            | ((epoch - F.lag(epoch).over(w)) > gap),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = {
+        (r["user_id"], float(r["s"]), float(r["e"]), r["n"])
+        for r in sid.groupBy("user_id", "sid")
+        .agg(F.min("ep").alias("s"), F.max("ep").alias("e"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert emitted, "no sessions were closed by the streaming run"
+    for r in emitted:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in batch, key
