@@ -90,7 +90,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return assign.unionByName(roots)
 
 
-def canonical_map(dictionary: DataFrame) -> DataFrame:
+def canonical_map(
+    dictionary: DataFrame, name_blocking: bool = False, name_threshold: float = 0.8
+) -> DataFrame:
     """dictionary(curie, equivalent_identifiers) ->
     (curie, canonical_curie).
 
@@ -98,6 +100,13 @@ def canonical_map(dictionary: DataFrame) -> DataFrame:
     component; the minimum member CURIE is canonical. Identifier
     groups become star edges (member -> group min) so the CC input is
     |ids| edges, not |group|² pairs.
+
+    ``name_blocking=True`` additionally merges entities whose LABELS
+    are near-duplicates (character-shingle MinHash-LSH candidates +
+    exact Jaccard ≥ ``name_threshold`` — kgeng.canon.lsh), the
+    north-star's second canonicalization path. Off by default: id
+    merges are exact; name merges are a policy with recall/precision
+    tradeoffs the caller owns.
     """
     pairs = dictionary.select(
         F.col("curie"), F.explode("equivalent_identifiers").alias("eq_id")
@@ -109,6 +118,10 @@ def canonical_map(dictionary: DataFrame) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if name_blocking:
+        from kgeng.canon.lsh import blocking_edges
+
+        star = star.unionByName(blocking_edges(dictionary, name_threshold)).distinct()
     comp = connected_components(star)
     singletons = dictionary.select("curie").join(
         comp.select(F.col("id").alias("curie")), "curie", "left_anti"

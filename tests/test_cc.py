@@ -61,3 +61,44 @@ def test_canonical_map_fixture(spark):
     got = {r["curie"]: r["canonical_curie"] for r in canonical_map(dictionary).collect()}
     for k in range(60):
         assert got[fixtures.entity_curie(k)] == fixtures.entity_curie(fixtures.canonical_of(k)), k
+
+
+def test_minhash_name_blocking_merges_near_dup_labels(spark):
+    """MinHash-LSH label blocking (kgeng.canon.lsh): planted near-dup
+    labels merge, distinct labels don't, and the exact-id CC result is
+    unchanged when blocking is off."""
+    from kgeng.canon.cc import canonical_map
+    from kgeng.canon.lsh import near_dup_label_pairs
+
+    rows = [
+        # same label with a one-character variant: must merge
+        ("X:1", "acetaminophenol", ["eq:a"]),
+        ("X:2", "acetaminophenoI", ["eq:b"]),
+        # unrelated labels: must not merge
+        ("X:3", "completely different thing", ["eq:c"]),
+        ("X:4", "zzz qqq vvv", ["eq:d"]),
+        # id-linked pair with unrelated labels: merges via ids only
+        ("X:5", "alpha entity", ["eq:shared"]),
+        ("X:6", "beta entity!!", ["eq:shared"]),
+    ]
+    d = spark.createDataFrame(rows, ["curie", "label", "equivalent_identifiers"])
+
+    pairs = {
+        (r["curie_a"], r["curie_b"]) for r in near_dup_label_pairs(d, 0.8).collect()
+    }
+    assert ("X:1", "X:2") in pairs
+    assert all({a, b} <= {"X:1", "X:2"} for a, b in pairs), pairs
+
+    with_names = {
+        r["curie"]: r["canonical_curie"]
+        for r in canonical_map(d, name_blocking=True).collect()
+    }
+    assert with_names["X:1"] == with_names["X:2"] == "X:1"
+    assert with_names["X:5"] == with_names["X:6"] == "X:5"
+    assert with_names["X:3"] == "X:3" and with_names["X:4"] == "X:4"
+
+    without = {
+        r["curie"]: r["canonical_curie"] for r in canonical_map(d).collect()
+    }
+    assert without["X:1"] == "X:1" and without["X:2"] == "X:2"  # no name merge
+    assert without["X:5"] == without["X:6"] == "X:5"
