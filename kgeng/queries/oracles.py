@@ -314,8 +314,10 @@ ORACLES: dict[str, str] = {
       FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents)
     ),
     per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
-    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count,
-           floor(MAX(c) * 1.0 / SUM(c) * 10000) / 10000 AS repetition_ratio
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           MAX(c) AS top_bigram_count,
+           floor(MAX(c) * 1.0 / CAST(SUM(c) AS BIGINT) * 10000) / 10000
+               AS repetition_ratio
     FROM per GROUP BY doc_id
     """,
     "dedup_exact": """
