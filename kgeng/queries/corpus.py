@@ -94,6 +94,30 @@ def kg_duplicate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_check(nodes: DataFrame, incident: DataFrame, key: str, label: str) -> DataFrame:
+    """Scale-safe node-label membership test: keep rows of ``incident``
+    whose ``key`` id carries ``label``.
+
+    The naive shape — semi-join against all label-carrying nodes —
+    puts the (nearly full) node table on the build side: it broadcasts
+    while small and silently degrades to a full node-table shuffle past
+    the broadcast threshold. Here the node table is only ever a
+    STREAMED probe side: the distinct incident ids (dimension-sized
+    after the anchor/closure join that produced ``incident``) are the
+    broadcast build side, and the label filter runs on the handful of
+    surviving node rows. ``tests/test_plans.py`` gates that every
+    LeftSemi build side stays reduced this way."""
+    ids = incident.select(F.col(key).alias("_lid")).distinct()
+    allowed = (
+        nodes.filter(F.array_contains(F.col("category"), label))
+        .join(F.broadcast(ids), F.col("id") == F.col("_lid"), "left_semi")
+        .select(F.col("id").alias("_lid"))
+    )
+    return incident.join(
+        F.broadcast(allowed), F.col(key) == F.col("_lid"), "left_semi"
+    )
+
+
 def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(6) label-constrained 1-hop neighborhood with per-predicate
     counts — ``match (a:`biolink:Disease` {id:X})-[x]-(b:`biolink:
@@ -103,27 +127,31 @@ def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both node-label legs are real: the anchor is the lowest-id node
     carrying the Disease label (deterministic at any SF, a 1-row
-    broadcast), and the far endpoint is label-checked with a semi-join
-    against NamedThing-labeled nodes — the reference's ``b:NamedThing``
-    constraint, not an id-prefix shortcut."""
+    broadcast), and the far endpoint is label-checked via
+    :func:`_label_check` — the reference's ``b:NamedThing`` constraint
+    with the anchor-incident endpoints (not the node table) as the
+    broadcast side."""
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
     anchor = nodes.filter(
         F.array_contains(F.col("category"), "biolink:Disease")
     ).agg(F.min("id").alias("aid"))
-    named = nodes.filter(
-        F.array_contains(F.col("category"), "biolink:NamedThing")
-    ).select(F.col("id").alias("nid"))
-    out = (
-        edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid"))
-        .join(named, edges["object"] == named["nid"], "left_semi")
-        .select("predicate", "primary_knowledge_source", F.lit("out").alias("direction"))
-    )
-    inc = (
-        edges.join(F.broadcast(anchor), edges["object"] == F.col("aid"))
-        .join(named, edges["subject"] == named["nid"], "left_semi")
-        .select("predicate", "primary_knowledge_source", F.lit("in").alias("direction"))
-    )
+    out = _label_check(
+        nodes,
+        edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid")).select(
+            "predicate", "primary_knowledge_source", "object"
+        ),
+        "object",
+        "biolink:NamedThing",
+    ).select("predicate", "primary_knowledge_source", F.lit("out").alias("direction"))
+    inc = _label_check(
+        nodes,
+        edges.join(F.broadcast(anchor), edges["object"] == F.col("aid")).select(
+            "predicate", "primary_knowledge_source", "subject"
+        ),
+        "subject",
+        "biolink:NamedThing",
+    ).select("predicate", "primary_knowledge_source", F.lit("in").alias("direction"))
     return (
         out.unionByName(inc)
         .groupBy("predicate", "primary_knowledge_source", "direction")
@@ -161,13 +189,13 @@ def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
       with ``array_contains(category, GeneFamily|Phenomenon)``;
     - ``*0..1`` closure: the root unioned with its direct
       ``subclass_of`` children (no recursion, exactly like the Cypher);
-    - inner-node label constraint (``i:NamedThing``): semi-join of the
-      closure against NamedThing-labeled nodes;
+    - inner-node label constraint (``i:NamedThing``): label check of
+      the tiny closure set via :func:`_label_check`;
     - predicate disjunction on the first hop (``isin``);
-    - source label constraint (``InformationContentEntity``): semi-join
-      AFTER the broadcast closure probe, so the big edge table is first
-      cut to the handful of closure-incident edges and the label check
-      touches only those.
+    - source label constraint (``InformationContentEntity``): label
+      check AFTER the broadcast closure probe, so the big edge table is
+      first cut to the closure-incident edges and the node table
+      streams past a broadcast of just those subjects' ids.
     """
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
@@ -186,16 +214,17 @@ def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("subject").alias("member"))
         .distinct()
     )
-    named = nodes.filter(
-        F.array_contains(F.col("category"), "biolink:NamedThing")
-    ).select(F.col("id").alias("member"))
-    closure = root.unionByName(one_hop).join(named, "member", "left_semi")
+    closure = _label_check(
+        nodes, root.unionByName(one_hop), "member", "biolink:NamedThing"
+    ).select("member")
     fam = edges.filter(F.col("predicate").isin(FLAGSHIP_PREDICATES))
     hits = fam.join(F.broadcast(closure), fam["object"] == closure["member"])
-    sources = nodes.filter(
-        F.array_contains(F.col("category"), "biolink:InformationContentEntity")
-    ).select(F.col("id").alias("src"))
-    hits = hits.join(sources, hits["subject"] == sources["src"], "left_semi")
+    hits = _label_check(
+        nodes,
+        hits.select("subject", "object"),
+        "subject",
+        "biolink:InformationContentEntity",
+    )
     return hits.groupBy(F.col("object").alias("part_id")).agg(
         F.countDistinct("subject").alias("n_orders")
     )

@@ -375,9 +375,9 @@ ORACLES: dict[str, str] = {
       FROM corpus
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+           floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) / 10000 AS cosine
     FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.999
+    WHERE floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) / 10000 >= 0.999
     """,
     "ann_cosine_topk": """
     WITH e AS (

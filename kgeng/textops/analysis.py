@@ -122,23 +122,45 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUOTA_PER_SOURCE = 10
+QUOTA_SALT_BUCKETS = 16
 
 
 def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling — the hot-domain cap of a web-scale
     pipeline: keep at most QUOTA_PER_SOURCE docs per source, chosen by
     a deterministic pseudo-random order (md5 of the id) so the sample
-    is unbiased but reproducible on any engine at any parallelism."""
+    is unbiased but reproducible on any engine at any parallelism.
+
+    Salted two-phase top-k (the pattern proven for publication caps in
+    kgeng.pipeline): a single ``row_number`` window per source would
+    sort every document of a domain in ONE task — at web scale a hot
+    domain holds 10^8+ docs. Phase 1 takes the per-(source, salt)
+    top-N (each task sorts ~1/16 of a domain; raise the salt count on
+    a real cluster), phase 2 ranks the ≤ N×SALT survivors per source —
+    bounded state. The global top-N by (md5(id), id) is a subset of
+    the per-salt-bucket top-Ns, so the output — ranks included — is
+    identical to the unsalted window and the oracle is unchanged."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salted = d.select(
+        "doc_id",
+        "source",
+        key.alias("_k"),
+        F.pmod(
+            F.xxhash64(F.col("doc_id").cast("string")), F.lit(QUOTA_SALT_BUCKETS)
+        ).alias("_salt"),
     )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    survivors = salted.withColumn("_rk1", F.row_number().over(w1)).filter(
+        F.col("_rk1") <= QUOTA_PER_SOURCE
+    )
+    w2 = Window.partitionBy("source").orderBy("_k", "doc_id")
     return (
-        d.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "rk")
     )
 
 

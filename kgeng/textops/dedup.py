@@ -422,7 +422,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .withColumn("cosine", _trunc4(dot / (F.col("na") * F.col("nb"))))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", "cosine")
     )

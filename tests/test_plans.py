@@ -105,6 +105,70 @@ def test_ivf_assignment_is_aggregated_not_windowed(spark):
     assert "max_by" in plan, plan
 
 
+def _semi_join_build_sides(plan_str: str):
+    """Yield (head_line, right_subtree_text) for every LeftSemi join in
+    a logical plan tree string. Depth = leading ':  '/'   '/':- '/'+- '
+    prefix length / 3; a node's right child is its LAST depth+1 child."""
+    lines = plan_str.splitlines()
+
+    def depth(line: str) -> int:
+        n = len(line) - len(line.lstrip(": +-"))
+        return n // 3
+
+    for i, line in enumerate(lines):
+        if "Join LeftSemi" not in line:
+            continue
+        d = depth(line)
+        # subtree of this join
+        j = i + 1
+        children = []
+        while j < len(lines) and depth(lines[j]) > d:
+            if depth(lines[j]) == d + 1:
+                children.append(j)
+            j += 1
+        assert len(children) == 2, (line, children)
+        rstart = children[1]
+        rend = rstart + 1
+        while rend < len(lines) and depth(lines[rend]) > d + 1:
+            rend += 1
+        yield line, "\n".join(lines[rstart:rend])
+
+
+def test_node_table_never_semi_join_build_side(spark):
+    """Scale gate for the flagship label checks (_label_check): every
+    LeftSemi build (right) side must be REDUCED — an Aggregate (the
+    distinct incident-id set) or itself a LeftSemi-filtered subset —
+    never the raw label-filtered node union, which broadcasts while
+    small and silently degrades to a full node-table shuffle at 100×."""
+    from kgeng.queries.corpus import kg_one_hop
+
+    for q in (kg_one_hop, kg_two_hop_closure):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        n_semi = 0
+        for head, right in _semi_join_build_sides(plan):
+            n_semi += 1
+            assert ("Aggregate" in right) or ("Join LeftSemi" in right), (
+                q.__name__,
+                head,
+                right[:2000],
+            )
+        assert n_semi >= 2, (q.__name__, plan[:500])
+
+
+def test_domain_quota_window_is_salted(spark):
+    """The per-domain quota must never sort a whole domain in one task:
+    phase 1 windows over (source, salt), and only the bounded survivor
+    set reaches the per-source window."""
+    from kgeng.textops.analysis import doc_domain_quota
+
+    plan = plan_of(doc_domain_quota(spark, SF_DIR))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert any("_salt" in s for s in specs), plan
+    # exactly one unsalted per-source window, fed by the salted phase
+    unsalted = [s for s in specs if "_salt" not in s]
+    assert len(unsalted) <= 1, specs
+
+
 def test_column_pruning(spark):
     plan = plan_of(doc_token_stats(spark, SF_DIR))
     # the scan must read only (doc_id, text); lang/source/n_chars pruned
