@@ -59,6 +59,7 @@ HEADLINE = [
     "kg_one_hop",
     "kg_label_inventory",
     "kg_degree0_audit",
+    "kg_build_audit",
     "kg_counts",
     # analytics
     "q_pricing_summary",

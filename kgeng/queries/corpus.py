@@ -230,6 +230,57 @@ def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(build-stage exposure) the refbuild path end-to-end as one graded
+    row set: O1 category reorder → J1 node-class lookup → J2 edge-class
+    resolution with miss-drop side channel → A1 predicate→class-pair
+    sets (ref ``Kuzu/kuzu_build_graph_csv.py:159-182,210-239,244-271,
+    342-347``).
+
+    The lookup deliberately EXCLUDES ``REGN:`` nodes so J2's dropped
+    side has real rows (every ``biolink:part_of`` edge loses its
+    object), grading the drop semantics — the reference's skip-and-warn
+    at ``:342-347`` — not just the happy path. Class-pair sets are
+    serialized then string-sorted: Spark's struct sort and a
+    lexicographic sort of ``subj|obj`` strings disagree when one class
+    name prefixes another, so the graded column sorts the serialized
+    strings on both engines."""
+    from kgeng.graph.build import (
+        node_class_lookup,
+        predicate_class_pairs,
+        resolve_edge_classes,
+    )
+
+    nodes = kg_nodes(spark, sf_dir)
+    edges = kg_edges(spark, sf_dir)
+    lookup = node_class_lookup(nodes).filter(~F.col("id").startswith("REGN:"))
+    resolved, dropped = resolve_edge_classes(edges, lookup)
+    pairs = predicate_class_pairs(resolved).select(
+        "predicate",
+        F.concat_ws(
+            ";",
+            F.array_sort(
+                F.transform(
+                    F.col("class_pairs"),
+                    lambda p: F.concat_ws("|", p.subject_class, p.object_class),
+                )
+            ),
+        ).alias("class_pairs_str"),
+    )
+    r = resolved.groupBy("predicate").agg(F.count("*").alias("n_resolved"))
+    d = dropped.groupBy("predicate").agg(F.count("*").alias("n_dropped"))
+    return (
+        r.join(d, "predicate", "full_outer")
+        .join(pairs, "predicate", "left")
+        .select(
+            "predicate",
+            F.coalesce(F.col("n_resolved"), F.lit(0).cast("long")).alias("n_resolved"),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+            F.coalesce(F.col("class_pairs_str"), F.lit("")).alias("class_pairs_str"),
+        )
+    )
+
+
 def kg_degree0_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(9) degree-0 audit — ``where node.degree_in(a) = 0``
     (ref docs/cypher-cmds.txt:112-115): nodes with no incoming edge,
@@ -419,6 +470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_one_hop": kg_one_hop,
     "kg_predicate_inventory": kg_predicate_inventory,
     "kg_two_hop_closure": kg_two_hop_closure,
+    "kg_build_audit": kg_build_audit,
     "kg_degree0_audit": kg_degree0_audit,
     "kg_detach_delete_audit": kg_detach_delete_audit,
     "kg_reorder_audit": kg_reorder_audit,

@@ -581,6 +581,40 @@ ORACLES: dict[str, str] = {
                         WHERE list_contains(category, 'biolink:InformationContentEntity'))
     GROUP BY e.object
     """,
+    "kg_build_audit": KG_PRELUDE
+    + """
+    , lookup AS (
+      SELECT id, category_reordered[1] AS node_class
+      FROM nodes WHERE id NOT LIKE 'REGN:%'
+    ),
+    joined AS (
+      SELECT e.predicate,
+             s.node_class AS subject_class, o.node_class AS object_class
+      FROM edges e
+      LEFT JOIN lookup s ON e.subject = s.id
+      LEFT JOIN lookup o ON e.object = o.id
+    ),
+    r AS (
+      SELECT predicate, COUNT(*) AS n_resolved,
+             array_to_string(
+               list_sort(list_distinct(
+                 array_agg(subject_class || '|' || object_class))), ';'
+             ) AS class_pairs_str
+      FROM joined
+      WHERE subject_class IS NOT NULL AND object_class IS NOT NULL
+      GROUP BY predicate
+    ),
+    d AS (
+      SELECT predicate, COUNT(*) AS n_dropped FROM joined
+      WHERE subject_class IS NULL OR object_class IS NULL
+      GROUP BY predicate
+    )
+    SELECT COALESCE(r.predicate, d.predicate) AS predicate,
+           CAST(COALESCE(r.n_resolved, 0) AS BIGINT) AS n_resolved,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           COALESCE(r.class_pairs_str, '') AS class_pairs_str
+    FROM r FULL OUTER JOIN d ON r.predicate = d.predicate
+    """,
     "kg_degree0_audit": KG_PRELUDE
     + """
     SELECT node_class, COUNT(*) AS n
