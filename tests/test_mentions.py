@@ -23,6 +23,23 @@ def test_scan_handles_punctuation_and_case():
     assert len(out) == 1 and out[0][2] == 2
 
 
+def test_join_path_matches_trie_path(spark):
+    """The auto-switch contract: the join-based exact-match path
+    (forced via a tiny collect threshold) must produce the exact same
+    mention multiset as the broadcast-trie path."""
+    pages_path = "/root/repo/.fixtures/mention_pages.parquet"
+    dict_path = "/root/repo/.fixtures/mention_dict.parquet"
+    fixtures.write_pages(pages_path, 60)
+    fixtures.write_dictionary(dict_path)
+    pages = spark.read.parquet(pages_path).filter("lang = 'en'")
+    dictionary = spark.read.parquet(dict_path)
+    trie = detect_mentions(spark, pages, dictionary)
+    joined = detect_mentions(spark, pages, dictionary, max_collected_aliases=1)
+    rows_t = sorted(map(tuple, trie.collect()))
+    rows_j = sorted(map(tuple, joined.collect()))
+    assert rows_t and rows_t == rows_j
+
+
 def test_detect_mentions_closed_form(spark):
     pages_path = "/root/repo/.fixtures/mention_pages.parquet"
     dict_path = "/root/repo/.fixtures/mention_dict.parquet"
