@@ -107,7 +107,11 @@ def extract_text_py_reference(html_bytes: bytes | None) -> str | None:
     return "\n".join(p.paras)
 
 
-_TAG_AT = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>")
+# Quote-aware attribute scan: '>' inside a quoted attribute value must
+# not terminate the tag (html.parser parses these correctly; a bare
+# [^>]*> would truncate). The bare-char alternative excludes quotes so
+# the alternation is unambiguous (no backtracking blow-up).
+_TAG_AT = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
 _CDATA_CLOSE = {
     "script": re.compile(r"</script[^>]*>", re.I),
     "style": re.compile(r"</style[^>]*>", re.I),
@@ -155,10 +159,13 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
         lt = find("<", i)
         if lt == -1:
             if p_depth and not skip_depth:
-                buf.append(doc[i:])
+                # unescape PER TEXT RUN, like html.parser's
+                # convert_charrefs: an entity split across a tag
+                # boundary stays literal instead of decoding after join
+                buf.append(unescape(doc[i:]))
             break
         if lt > i and p_depth and not skip_depth:
-            buf.append(doc[i:lt])
+            buf.append(unescape(doc[i:lt]))
         if doc.startswith("<!--", lt):
             end = find("-->", lt + 4)
             i = n if end == -1 else end + 3
@@ -175,7 +182,9 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             i = lt + 1
             continue
         closing, name = m.group(1), m.group(2).lower()
-        self_closing = m.group(0).endswith("/>")
+        # '/' before '>' OUTSIDE quotes (group 3 ends the attr region);
+        # group(0).endswith('/>') would misread <p class="a/">
+        self_closing = m.group(3).endswith("/")
         i = m.end()
         if not closing:
             if name in _CDATA_CLOSE and not self_closing:
@@ -200,7 +209,7 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             elif name == "p" and p_depth:
                 p_depth -= 1
                 if p_depth == 0:
-                    text = _WS.sub(" ", unescape("".join(buf))).strip()
+                    text = _WS.sub(" ", "".join(buf)).strip()
                     if text:
                         paras.append(text)
     return "\n".join(paras)

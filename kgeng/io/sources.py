@@ -151,21 +151,27 @@ def write_merged_json_array(
     record count."""
     import glob as _glob
     import os
+    import shutil
 
     tmp = tmp_dir or out_file + ".jsonl.tmp"
     write_merged_json(nodes, edges, tmp)
-    n = 0
-    with open(out_file, "w", encoding="utf-8") as out:
-        out.write("[\n")
-        for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.rstrip("\n")
-                    if not line:
-                        continue
-                    if n:
-                        out.write(",\n")
-                    out.write(line)
-                    n += 1
-        out.write("\n]\n")
+    try:
+        n = 0
+        with open(out_file, "w", encoding="utf-8") as out:
+            out.write("[\n")
+            for part in sorted(_glob.glob(os.path.join(tmp, "part-*"))):
+                with open(part, encoding="utf-8") as fh:
+                    for line in fh:
+                        line = line.rstrip("\n")
+                        if not line:
+                            continue
+                        if n:
+                            out.write(",\n")
+                        out.write(line)
+                        n += 1
+            out.write("\n]\n")
+    finally:
+        # the JSONL intermediate is per-call scratch; leaving it would
+        # accumulate stale part files across runs
+        shutil.rmtree(tmp, ignore_errors=True)
     return n

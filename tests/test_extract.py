@@ -115,6 +115,15 @@ def test_scanner_matches_reference_parser():
         b"<p>text &lt;tag&gt; more</p>",
         b"<br/><p>after void</p><hr>",
         b"<template><p>no</p></template><p>yes2</p>",
+        # '>' inside a quoted attribute value must not end the tag
+        b'<p title="a>b">gtattr</p>',
+        b"<p><a href='x>y'>link</a> tail</p>",
+        b'<p><img alt="1>2"/>imgtail</p>',
+        # entities split across tag boundaries stay literal (html.parser
+        # unescapes per data run, never across tags)
+        b"<p>&am<b>p;</b></p>",
+        b"<p>&amp<i>;x</i></p>",
+        b"<p>a &amp; b &lt<b>;</b></p>",
     ]
     for h in junk:
         assert extract_text_py(h) == extract_text_py_reference(h), h
