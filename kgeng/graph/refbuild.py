@@ -193,6 +193,82 @@ def cypher_load_csv(csv_path: str, tags: dict[str, str], kind: str = "node") -> 
     )
 
 
+# ---------------------------------------------------------------------------
+# E4 — Apache AGE codegen parity
+# ---------------------------------------------------------------------------
+
+
+def age_single_table_ddl(
+    node_tags: dict[str, str], edge_tags: dict[str, str]
+) -> list[str]:
+    """The AGE module's actually-executed DDL + COPY shape
+    (``AGE/age_build_graph_csv.py:26-43,141-188`` — documented drift:
+    despite the name it drives an embedded Kuzu engine): ONE monolithic
+    ``Node`` table and ONE ``Edge`` rel table, columns from the typed
+    header via the same type lattice, with the module's renames applied
+    as the reference applies them — a BLUNT string replace of
+    ``category``→``labels`` / ``predicate``→``label`` over the
+    generated column string (``:91-93``), faithfully reproduced
+    (a column named ``subcategory`` would be hit there too)."""
+
+    def cols(tags: dict[str, str], renames: dict[str, str]) -> str:
+        # reference joins with ',' (no space) and strips the last comma
+        s = ",".join(
+            f"{sanitize_column_name(name)} {_DDL_TYPES[tag]}"
+            for name, tag in tags.items()
+        )
+        for k, v in renames.items():
+            s = s.replace(k, v)
+        return s
+
+    n_cols = cols(node_tags, {"category": "labels"})
+    e_cols = cols(edge_tags, {"predicate": "label"})
+    return [
+        f"CREATE NODE TABLE Node({n_cols}, PRIMARY KEY (id))",
+        f"CREATE REL TABLE Edge(FROM Node TO Node, {e_cols})",
+    ]
+
+
+def age_copy_statements(node_csvs: list[str], edge_csvs: list[str]) -> list[str]:
+    """COPY manifest in the AGE module's exact framing
+    (``AGE/age_build_graph_csv.py:168,183`` — note nodes AND edges both
+    load with ``IGNORE_ERRORS=false`` there, unlike the Kuzu module's
+    tolerant edge load)."""
+    return [
+        f'COPY Node FROM "{p}" (HEADER=true, DELIMITER=",", IGNORE_ERRORS=false);'
+        for p in node_csvs
+    ] + [
+        f'COPY Edge FROM "{p}" (HEADER=true, DELIMITER=",", IGNORE_ERRORS=false);'
+        for p in edge_csvs
+    ]
+
+
+def age_sql_script(
+    graph: str, label_csvs: dict[str, str], drop_first: bool = False
+) -> list[str]:
+    """The true Apache-AGE SQL session, statement for statement from
+    ``docs/Apache-AGE-cmds.txt:1-34``: LOAD 'age', search_path to
+    ag_catalog, create_graph, one ``create_vlabel`` +
+    ``load_labels_from_file`` per label (fed here by the refbuild
+    per-class CSV bins), and the per-label COUNT check the doc ends
+    with."""
+    stmts = ["LOAD 'age';", "SET search_path TO ag_catalog;"]
+    if drop_first:
+        stmts.append(f"SELECT * FROM drop_graph('{graph}', true);")
+    stmts.append(f"SELECT * FROM create_graph('{graph}');")
+    for label in sorted(label_csvs):
+        stmts.append(f"SELECT create_vlabel('{graph}','{label}');")
+    for label in sorted(label_csvs):
+        stmts.append(
+            f"SELECT load_labels_from_file('{graph}',\n"
+            f"                             '{label}',\n"
+            f"                             '{label_csvs[label]}');"
+        )
+    for label in sorted(label_csvs):
+        stmts.append(f'SELECT COUNT(*) FROM "{graph}"."{label}";')
+    return stmts
+
+
 def run_refbuild(
     spark: SparkSession,
     nodes_csv: str,
@@ -252,6 +328,17 @@ def run_refbuild(
     node_ddl = generate_node_ddl(classes, node_tags)
     rel_ddl = generate_rel_ddl(pairs, edge_tags)
     copy_manifest = import_statements(f"{out_dir}/bins", classes, sorted(pairs))
+    age_ddl = age_single_table_ddl(node_tags, edge_tags) + age_copy_statements(
+        [f"{out_dir}/bins/nodes_flat/{_part_dir('node_class', c)}/*.csv" for c in classes],
+        [f"{out_dir}/bins/edges_flat/{_part_dir('label', p)}/*.csv" for p in sorted(pairs)],
+    )
+    age_sql = age_sql_script(
+        "KGENG",
+        {
+            c: f"{out_dir}/bins/nodes_flat/{_part_dir('node_class', c)}/*.csv"
+            for c in classes
+        },
+    )
 
     return {
         "classes": classes,
@@ -259,6 +346,8 @@ def run_refbuild(
         "node_ddl": node_ddl,
         "rel_ddl": rel_ddl,
         "copy_manifest": copy_manifest,
+        "age_ddl": age_ddl,
+        "age_sql": age_sql,
         "nodes": binned_nodes,
         "edges": converted_edges,
         "dropped_edges": dropped,

@@ -123,6 +123,81 @@ def test_copy_manifest_globs_match_files(build):
         assert glob.glob(m.group(1)), f"COPY glob matches nothing: {stmt}"
 
 
+def test_age_codegen_golden():
+    """E4 parity: the AGE module's single-table DDL/COPY framing
+    (AGE/age_build_graph_csv.py:26-43,60-188) and the true AGE SQL
+    session from docs/Apache-AGE-cmds.txt:1-34."""
+    from kgeng.graph.refbuild import (
+        age_copy_statements,
+        age_single_table_ddl,
+        age_sql_script,
+    )
+
+    node_tags = {"id": "id", "name": "string", "category": "label", "score": "float"}
+    edge_tags = {
+        "subject": "start_id",
+        "predicate": "type",
+        "object": "end_id",
+        "count": "int",
+        "flags": "string[]",
+    }
+    ddl = age_single_table_ddl(node_tags, edge_tags)
+    assert ddl[0] == (
+        "CREATE NODE TABLE Node(id STRING,name STRING,labels STRING[],"
+        "score FLOAT, PRIMARY KEY (id))"
+    )
+    assert ddl[1] == (
+        "CREATE REL TABLE Edge(FROM Node TO Node, subject STRING,"
+        "label STRING,object STRING,count INT64,flags STRING[])"
+    )
+    copies = age_copy_statements(["/d/n1.csv"], ["/d/e1.csv"])
+    assert copies[0] == (
+        'COPY Node FROM "/d/n1.csv" (HEADER=true, DELIMITER=",", IGNORE_ERRORS=false);'
+    )
+    assert copies[1].startswith('COPY Edge FROM "/d/e1.csv"')
+    sql = age_sql_script("CTD", {"Country": "/age/countries.csv"})
+    assert sql[0] == "LOAD 'age';"
+    assert sql[1] == "SET search_path TO ag_catalog;"
+    assert "SELECT * FROM create_graph('CTD');" in sql
+    assert "SELECT create_vlabel('CTD','Country');" in sql
+    assert any(
+        s.startswith("SELECT load_labels_from_file('CTD',") and "'/age/countries.csv'" in s
+        for s in sql
+    )
+    assert 'SELECT COUNT(*) FROM "CTD"."Country";' == sql[-1]
+    # drop_first injects the doc's drop_graph before create
+    sql2 = age_sql_script("CTD", {}, drop_first=True)
+    assert "SELECT * FROM drop_graph('CTD', true);" in sql2
+
+
+def test_refbuild_age_manifests(spark, kgx_paths, tmp_path):
+    """run_refbuild's AGE manifests point at bins that exist."""
+    import glob
+    import re
+
+    from kgeng.graph.refbuild import run_refbuild
+
+    build = run_refbuild(
+        spark,
+        kgx_paths["nodes_csv"],
+        kgx_paths["nodes_hdr"],
+        kgx_paths["edges_csv"],
+        kgx_paths["edges_hdr"],
+        str(tmp_path / "age_build"),
+    )
+    assert build["age_ddl"][0].startswith("CREATE NODE TABLE Node(")
+    assert build["age_ddl"][1].startswith("CREATE REL TABLE Edge(FROM Node TO Node,")
+    for stmt in build["age_ddl"]:
+        m = re.search(r'FROM "([^"]+)"', stmt)
+        if m:
+            assert glob.glob(m.group(1)), f"AGE COPY glob matches nothing: {stmt}"
+    loads = [s for s in build["age_sql"] if s.startswith("SELECT load_labels_from_file")]
+    assert loads
+    for stmt in loads:
+        path = re.findall(r"'([^']+)'", stmt)[-1]
+        assert glob.glob(path), f"AGE load glob matches nothing: {stmt}"
+
+
 def test_cypher_load_csv_codegen_golden():
     """E3 parity: per-tag cast emission matches the reference's
     get_conversion semantics (MemGraph/mg_build_individual_json.py:
