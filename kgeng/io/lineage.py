@@ -10,9 +10,12 @@ north_star).
 
 Backend: one tiny JSON file per commit under ``<out>/_lineage/``
 (commit files are written atomically via rename). On an Iceberg
-deployment this maps 1:1 onto snapshot metadata + an append-only
-lineage table; the protocol — fingerprint, check, commit — is
-identical, so the backend is pluggable.
+deployment the same three-call protocol — fingerprint, check, commit —
+runs over snapshot-summary properties instead:
+:class:`kgeng.io.iceberg.IcebergLineage` is that backend, and the
+module docstring of :mod:`kgeng.io.iceberg` is the full commit
+contract (atomic CAS commit, snapshot-isolated readers, id-based
+schema evolution, partition-spec mapping) at the 10⁹-page target.
 """
 
 from __future__ import annotations
