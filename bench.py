@@ -51,6 +51,14 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 # artifact a real cluster (a few Python workers per executor) never
 # sees. SPARK_GRAFT_SCALE=2,8 or 8,32 reruns the pair at other levels.
 SCALE_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE", "1,4").split(",")]
+# Secondary pair recorded alongside the primary (the brief's higher
+# levels): measured WITH a pure-CPU twin at the same levels so the
+# recorded JSON quantifies how much of any sub-1.0 efficiency is the
+# single-host worker co-location artifact vs the job itself.
+# Empty string disables.
+SCALE_LEVELS_2 = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE2", "2,8").split(",") if x
+]
 FIX = os.path.join(REPO, ".fixtures")
 
 HEADLINE = [
@@ -173,6 +181,67 @@ def pipeline_attempt(cpus: int, timeout: int = 2400) -> dict | None:
 
 MAX_SCALING_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "4"))
 
+CPU_TWIN_PAGES = int(os.environ.get("SPARK_GRAFT_CPU_TWIN_PAGES", "30000"))
+
+
+def _cpu_twin_chunk(htmls: list) -> int:
+    from kgeng.extract.text import extract_text_py
+
+    n = 0
+    for h in htmls:
+        if extract_text_py(h) is not None:
+            n += 1
+    return n
+
+
+def run_cpu_twin(n_lo: int, n_hi: int) -> dict:
+    """Pure-CPU co-location control: the SAME extraction kernel over
+    the SAME gzipped pages, run under plain multiprocessing at both
+    levels — no Spark, no JVM↔Python Arrow channel. Its lo→hi
+    efficiency bounds what the host itself supports at these process
+    counts; the gap between it and the Spark pair at the same levels
+    is the single-JVM worker co-location artifact a real cluster (a
+    few Python workers per executor) never sees. Min-of-2 per level,
+    interleaved."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    pages, _ = bench_corpus()
+    tbl = pq.read_table(pages, columns=["html"])
+    htmls = tbl.column("html").to_pylist()[:CPU_TWIN_PAGES]
+    n_chunks = 64
+    chunks = [htmls[i::n_chunks] for i in range(n_chunks)]
+
+    def level(nproc: int) -> float:
+        with mp.Pool(nproc) as pool:
+            # warm workers outside the timed region (Spark's reused
+            # python workers are warm in the measured pair too)
+            pool.map(_cpu_twin_chunk, [[] for _ in range(nproc)])
+            t0 = time.time()
+            pool.map(_cpu_twin_chunk, chunks)
+            return round(time.time() - t0, 3)
+
+    times = {n_lo: [], n_hi: []}
+    for rnd in range(2):
+        order = [n_lo, n_hi] if rnd % 2 == 0 else [n_hi, n_lo]
+        for lvl in order:
+            times[lvl].append(level(lvl))
+    t_lo, t_hi = min(times[n_lo]), min(times[n_hi])
+    eff = round(t_lo / ((n_hi / n_lo) * t_hi), 3)
+    print(
+        f"[bench] cpu twin {n_lo}->{n_hi}: {t_lo}s -> {t_hi}s (eff {eff})",
+        file=sys.stderr,
+        flush=True,
+    )
+    return {
+        "pages": len(htmls),
+        f"seconds_{n_lo}": t_lo,
+        f"seconds_{n_hi}": t_hi,
+        "samples": {str(k): v for k, v in times.items()},
+        "scaling_efficiency": eff,
+    }
+
 
 def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
     """Scaling-efficiency measurement: SYMMETRIC interleaved pairs.
@@ -242,7 +311,24 @@ def main() -> None:
     if not args.skip_scaling:
         n_lo, n_hi = SCALE_LEVELS
         budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
-        pipeline = run_scaling(n_lo, n_hi, budget)
+        t_start = time.time()
+        primary_budget = int(budget * 0.6) if SCALE_LEVELS_2 else budget
+        pipeline = run_scaling(n_lo, n_hi, primary_budget)
+        if SCALE_LEVELS_2:
+            s_lo, s_hi = SCALE_LEVELS_2
+            remaining = max(600, budget - int(time.time() - t_start))
+            pair2 = run_scaling(s_lo, s_hi, remaining)
+            pipeline[f"pair_{s_lo}_{s_hi}"] = pair2
+            twin = run_cpu_twin(s_lo, s_hi)
+            pipeline[f"cpu_twin_{s_lo}_{s_hi}"] = twin
+            if "scaling_efficiency" in pair2 and twin["scaling_efficiency"]:
+                # Spark-pair efficiency with the host's own pure-CPU
+                # ceiling at these process counts divided out: what the
+                # JOB scales at once the co-location artifact the twin
+                # measures is removed.
+                pipeline[f"colocation_adjusted_eff_{s_lo}_{s_hi}"] = round(
+                    pair2["scaling_efficiency"] / twin["scaling_efficiency"], 3
+                )
 
     queries = run_queries()
 

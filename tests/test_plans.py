@@ -105,9 +105,9 @@ def test_ivf_assignment_is_aggregated_not_windowed(spark):
     assert "max_by" in plan, plan
 
 
-def _semi_join_build_sides(plan_str: str):
-    """Yield (head_line, right_subtree_text) for every LeftSemi join in
-    a logical plan tree string. Depth = leading ':  '/'   '/':- '/'+- '
+def _join_right_subtrees(plan_str: str):
+    """Yield (head_line, right_subtree_text) for every Join in a
+    logical plan tree string. Depth = leading ':  '/'   '/':- '/'+- '
     prefix length / 3; a node's right child is its LAST depth+1 child."""
     lines = plan_str.splitlines()
 
@@ -116,7 +116,7 @@ def _semi_join_build_sides(plan_str: str):
         return n // 3
 
     for i, line in enumerate(lines):
-        if "Join LeftSemi" not in line:
+        if "Join " not in line:
             continue
         d = depth(line)
         # subtree of this join
@@ -134,25 +134,28 @@ def _semi_join_build_sides(plan_str: str):
         yield line, "\n".join(lines[rstart:rend])
 
 
-def test_node_table_never_semi_join_build_side(spark):
+def test_node_table_never_broadcast_build_side(spark):
     """Scale gate for the flagship label checks (_label_check): every
-    LeftSemi build (right) side must be REDUCED — an Aggregate (the
-    distinct incident-id set) or itself a LeftSemi-filtered subset —
-    never the raw label-filtered node union, which broadcasts while
-    small and silently degrades to a full node-table shuffle at 100×."""
+    join must broadcast its RIGHT side, and that side must be an
+    explicitly REDUCED set (an Aggregate — anchor/root/distinct — or a
+    prior join's dimension-sized output) — never the raw label-filtered
+    node union, which broadcasts while small and silently degrades to
+    a full node-table shuffle at 100×. The node union only ever
+    streams as the probe side."""
     from kgeng.queries.corpus import kg_one_hop
 
     for q in (kg_one_hop, kg_two_hop_closure):
         plan = q(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
-        n_semi = 0
-        for head, right in _semi_join_build_sides(plan):
-            n_semi += 1
-            assert ("Aggregate" in right) or ("Join LeftSemi" in right), (
+        n_joins = 0
+        for head, right in _join_right_subtrees(plan):
+            n_joins += 1
+            assert "rightHint=(strategy=broadcast)" in head, (q.__name__, head)
+            assert ("Aggregate" in right) or ("Join " in right), (
                 q.__name__,
                 head,
                 right[:2000],
             )
-        assert n_semi >= 2, (q.__name__, plan[:500])
+        assert n_joins >= 3, (q.__name__, plan[:500])
 
 
 def test_domain_quota_window_is_salted(spark):
