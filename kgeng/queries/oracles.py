@@ -387,7 +387,7 @@ ORACLES: dict[str, str] = {
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS score
+             floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 100000) / 100000 AS score
       FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10
     )
     SELECT query_id, neighbor_id, score, rank FROM (
@@ -406,7 +406,7 @@ ORACLES: dict[str, str] = {
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 5) AS score
+             floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 100000) / 100000 AS score
       FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10
     )
     SELECT query_id, neighbor_id, score, rank FROM (
@@ -443,7 +443,7 @@ ORACLES: dict[str, str] = {
     ),
     scored AS (
       SELECT p.query_id, a.neighbor_id,
-             ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 5) AS score
+             floor(list_dot_product(p.qv, a.v) / (p.qn * a.nrm) * 100000) / 100000 AS score
       FROM probes p JOIN assigned a USING (cent_id)
     )
     SELECT query_id, neighbor_id, score, rank FROM (

@@ -9,7 +9,7 @@
   parallelism.
 
 Dot products run as ``zip_with``/``aggregate`` expressions (JVM-side,
-no Python). Ranks order by the rounded score with id tie-breaks so
+no Python). Ranks order by the truncated score with id tie-breaks so
 both Spark and the DuckDB oracle sort identically.
 """
 
@@ -43,6 +43,13 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _trunc5(c):
+    # floor-truncation, the repo-wide cross-engine float rule
+    # (CLAUDE.md): identical doubles floor identically on every engine,
+    # while round() half-up vs half-even can differ at exact boundaries
+    return F.floor(c * 100000) / 100000
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors (corpus = vec_id >= N_QUERIES) for each
     query vector (vec_id < N_QUERIES)."""
@@ -56,7 +63,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("score"),
+        _trunc5(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -157,7 +164,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = probes.join(assigned, "cent_id").select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv_")) / (F.col("qn") * F.col("cn_")), 5).alias("score"),
+        _trunc5(_dot(F.col("qv"), F.col("cv_")) / (F.col("qn") * F.col("cn_"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -185,7 +192,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = q.join(c, "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 5).alias("score"),
+        _trunc5(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
