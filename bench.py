@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "mm_features",
 ]
 
@@ -316,7 +317,13 @@ def main() -> None:
         pipeline = run_scaling(n_lo, n_hi, primary_budget)
         if SCALE_LEVELS_2:
             s_lo, s_hi = SCALE_LEVELS_2
-            remaining = max(600, budget - int(time.time() - t_start))
+            # floor at 900s: with run_scaling's 1.5x min-pairs allowance
+            # this lets the secondary pair take its min-of-2 round
+            # (~2x(450+145)s measured) even when the primary pair ate
+            # the shared budget in a slow host window — a single-sample
+            # pair is what made materialize/canon_map stage noise land
+            # in the recorded JSON unaveraged
+            remaining = max(900, budget - int(time.time() - t_start))
             pair2 = run_scaling(s_lo, s_hi, remaining)
             pipeline[f"pair_{s_lo}_{s_hi}"] = pair2
             twin = run_cpu_twin(s_lo, s_hi)
