@@ -81,6 +81,7 @@ HEADLINE = [
     "doc_domain_quota",
     "doc_repetition",
     "dedup_exact",
+    "dedup_cluster_assign",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",

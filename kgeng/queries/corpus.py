@@ -428,6 +428,7 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
+    doc_bpe_tokens,
     doc_domain_quota,
     doc_fingerprint,
     doc_lang_id,
@@ -437,6 +438,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_token_stats,
 )
 from kgeng.textops.dedup import (  # noqa: E402
+    dedup_cluster_assign,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_minhash_lsh,
@@ -449,6 +451,7 @@ from kgeng.textops.similarity import ann_cosine_topk, ann_ivf_topk, ann_lsh_topk
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data ops (documents / embeddings / events)
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_tokens": doc_bpe_tokens,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -457,6 +460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": doc_repetition,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

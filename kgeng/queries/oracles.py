@@ -230,6 +230,12 @@ def _simhash_sql() -> str:
 
 ORACLES: dict[str, str] = {
     # -- training-data ops ------------------------------------------------
+    "doc_bpe_tokens": """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS n_bpe_pieces
+    FROM documents
+    """,
     "doc_token_stats": """
     SELECT doc_id,
            len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
@@ -331,6 +337,29 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DUP_TEXT_PRELUDE
     + """
     SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+    """,
+    # recursive-CTE min-label propagation = the CC oracle; DuckDB needs
+    # RECURSIVE declared on the whole WITH list
+    "dedup_cluster_assign": DUP_TEXT_PRELUDE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + """
+    , pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS doc, v AS r FROM und
+      UNION
+      SELECT rc.doc, und.v FROM reach rc JOIN und ON und.u = rc.r
+    ),
+    lbl AS (
+      SELECT doc, LEAST(doc, MIN(r)) AS keep_id FROM reach GROUP BY doc
+    )
+    SELECT l.doc AS doc_id, l.keep_id,
+           CAST(c.n AS BIGINT) AS cluster_size
+    FROM lbl l
+    JOIN (SELECT keep_id, COUNT(*) AS n FROM lbl GROUP BY keep_id) c
+      ON l.keep_id = c.keep_id
     """,
     "dedup_minhash_lsh": DUP_TEXT_PRELUDE
     + f"""

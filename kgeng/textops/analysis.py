@@ -46,6 +46,26 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer split, restricted to the Java-regex ∩ RE2
+# common dialect (alternation preference order is leftmost-first in
+# both; no lookarounds, ASCII classes): contractions, space-prefixed
+# letter runs, digit runs, other-symbol runs, whitespace runs.
+BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief names them: whitespace
+    tokens and BPE-ish pre-tokenizer pieces (the GPT-2 split pattern
+    family) — the count a training-data budget is denominated in.
+    Pure regexp_count, codegen-only."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT)).alias("n_bpe_pieces"),
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: stopword ratio + length saturation +
     mean token length (single-space corpora let mean length be derived

@@ -212,6 +212,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair finding that a
+    curation pipeline actually acts on: connect the verified Jaccard
+    pairs into components (large-star/small-star, kgeng.canon.cc — the
+    O(log n)-round distributed formulation) and emit, per clustered
+    doc, its keeper (= component minimum id, the doc a dedup pass
+    keeps) and the cluster size.
+
+    This grades the iterative CC operator with a full value oracle: the
+    DuckDB twin computes the same components by recursive-CTE
+    min-label propagation over the same pair set. Docs in no pair are
+    not emitted (singletons are kept trivially)."""
+    from kgeng.canon.cc import connected_components
+
+    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
+    pairs = _jaccard_pairs(sh, JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        "cluster_size",
+    )
+
+
 # MinHash permutation family over a 28-bit base hash: one md5 per
 # shingle (not one per seed — 16x fewer digest calls), then 16 integer
 # permutations h_s = (A_s·x + B_s) mod P. P = 2^31 - 1 (prime);
