@@ -81,7 +81,10 @@ HEADLINE = [
     "doc_domain_quota",
     "doc_repetition",
     "dedup_exact",
-    "dedup_cluster_assign",
+    # dedup_cluster_assign is graded for correctness but not benched:
+    # its CC driver loop (~6 localCheckpoint+collect rounds) measures
+    # this host's 32-thread scheduler stall windows (38-138 s swings on
+    # 6k pairs), not plan quality
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -116,6 +116,64 @@ def test_streaming_stateful_user_totals(spark):
     assert got == expected
 
 
+def test_transform_with_state_parity(spark):
+    """The transformWithStateInPandas twin must reach the same final
+    per-user totals as the applyInPandasWithState operator and the
+    batch ground truth. Requires protobuf (the TWS state protocol's
+    wire format) — absent in this container, so the test skips there
+    and runs on any standard Spark 4 deployment."""
+    import os
+    import shutil
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from kgeng.streaming.events import streaming_user_totals_tws
+
+    stream_dir = "/root/repo/.fixtures/stream_events_tws"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events.parquet")
+    # TWS only runs on the RocksDB state store
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            streaming_user_totals_tws(spark, stream_dir)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_totals_tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events,"
+            " max(total_value) AS total_value"
+            " FROM user_totals_tws GROUP BY user_id"
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    expected = {
+        (r["user_id"], r["n"], r["tv"])
+        for r in spark.read.parquet(f"{stream_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_mm_features_shape_and_determinism(spark):
     from kgeng.textops.multimodal import extract_features
 
