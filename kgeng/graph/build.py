@@ -132,6 +132,7 @@ def resolve_edge_classes(
     edges: DataFrame,
     class_lookup: DataFrame,
     broadcast_lookup: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """J2 — resolve subject/object classes for every edge via two
     equi-joins; edges whose endpoints are unknown are DROPPED, exactly
@@ -139,9 +140,16 @@ def resolve_edge_classes(
     the row and logs a warning).
 
     Returns ``(resolved, dropped)`` — the dropped side is the
-    warning/metrics side-channel, produced with the same join so
-    Catalyst reuses the exchange.
-    """
+    warning/metrics side-channel, filtered from the same join.
+
+    ``materialize=True`` localCheckpoints the shared join product
+    before the two filters. Use it when BOTH sides feed one lazy
+    query: Spark re-executes a subtree once per reference (no
+    common-subexpression reuse — measured 3× full join executions in
+    kg_build_audit's plan, 63 scans for 7 sources), so a caller that
+    consumes resolved AND dropped lazily pays the join per branch.
+    The pipeline itself snapshots stages to parquet instead (the
+    100 TB-honest form); the flag is for single-query composition."""
     lk = class_lookup
     if broadcast_lookup:
         lk = F.broadcast(lk)
@@ -150,6 +158,8 @@ def resolve_edge_classes(
     joined = edges.join(s, edges["subject"] == F.col("_sid"), "left").join(
         o, edges["object"] == F.col("_oid"), "left"
     )
+    if materialize:
+        joined = joined.localCheckpoint(eager=False)
     resolved = (
         joined.filter(F.col("_sid").isNotNull() & F.col("_oid").isNotNull())
         .drop("_sid", "_oid")

@@ -259,7 +259,9 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
     lookup = node_class_lookup(nodes).filter(~F.col("id").startswith("REGN:"))
-    resolved, dropped = resolve_edge_classes(edges, lookup)
+    # materialize: r / d / pairs below all branch from this join — lazy
+    # composition would re-execute the full edge⋈lookup join per branch
+    resolved, dropped = resolve_edge_classes(edges, lookup, materialize=True)
     pairs = predicate_class_pairs(resolved).select(
         "predicate",
         F.concat_ws(
