@@ -447,7 +447,12 @@ from kgeng.textops.dedup import (  # noqa: E402
     dedup_ngram_jaccard,
     dedup_simhash,
 )
-from kgeng.textops.multimodal import mm_features, mm_metadata  # noqa: E402
+from kgeng.textops.multimodal import (  # noqa: E402
+    mm_features,
+    mm_frame_stats,
+    mm_metadata,
+    mm_resize,
+)
 from kgeng.textops.similarity import ann_cosine_topk, ann_ivf_topk, ann_lsh_topk  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -471,6 +476,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "mm_metadata": mm_metadata,
     "mm_features": mm_features,
+    "mm_resize": mm_resize,
+    "mm_frame_stats": mm_frame_stats,
     "q_events_sessions": q_events_sessions,
     "q_events_json": q_events_json,
     "kg_point_lookup": kg_point_lookup,

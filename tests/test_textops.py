@@ -174,6 +174,48 @@ def test_transform_with_state_parity(spark):
     assert got == expected
 
 
+def test_mm_resize_and_frame_kernels(spark):
+    """Resize is exactly RESIZE_TARGET bytes of nearest-neighbor
+    resample (up- and down-sampling); frame sampling keeps every 4th
+    fixed-stride frame with closed-form counts."""
+    from kgeng.textops.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_EVERY,
+        RESIZE_TARGET,
+        resize_payloads,
+        sample_frames,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rz = {r["doc_id"]: r for r in resize_payloads(spark, SF_DIR).collect()}
+    assert set(rz) == set(docs)
+    for did, row in rz.items():
+        raw = docs[did].encode()
+        n = len(raw)
+        expected = bytes(
+            raw[(i * (n - 1)) // (RESIZE_TARGET - 1)] for i in range(RESIZE_TARGET)
+        )
+        assert bytes(row["resized"]) == expected
+        assert row["n_bytes_out"] == RESIZE_TARGET
+        assert row["checksum"] == sum(expected)
+
+    frames: dict[int, list] = {}
+    for r in sample_frames(spark, SF_DIR).collect():
+        frames.setdefault(r["doc_id"], []).append(r)
+    for did, rows in frames.items():
+        raw = docs[did].encode()
+        total = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, total, FRAME_SAMPLE_EVERY)
+        )
+        for r in rows:
+            k = r["frame_idx"]
+            assert bytes(r["frame"]) == raw[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+
+
 def test_mm_features_shape_and_determinism(spark):
     from kgeng.textops.multimodal import extract_features
 
