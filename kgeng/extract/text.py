@@ -107,11 +107,20 @@ def extract_text_py_reference(html_bytes: bytes | None) -> str | None:
     return "\n".join(p.paras)
 
 
-# Quote-aware attribute scan: '>' inside a quoted attribute value must
+# Quote-aware attribute scan: '>' inside a quoted attribute VALUE must
 # not terminate the tag (html.parser parses these correctly; a bare
-# [^>]*> would truncate). The bare-char alternative excludes quotes so
-# the alternation is unambiguous (no backtracking blow-up).
-_TAG_AT = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+# [^>]*> would truncate). Quotes are honored only in attribute
+# position — after `name=` — exactly like html.parser's tolerant attr
+# regex; a bare quote elsewhere is junk and the tag still ends at the
+# first '>' (differential-tested both ways). The attr region is an
+# atomic group so the ambiguous [^>] fallback can never backtrack into
+# a parsed quoted value (linear scan on pathological unterminated tags).
+_TAG_AT = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?>(?:\s[a-zA-Z][^\s=/>]*\s*=\s*\"[^\"]*\""
+    r"|\s[a-zA-Z][^\s=/>]*\s*=\s*'[^']*'"
+    r"|[^>])*))>"
+)
 _CDATA_CLOSE = {
     "script": re.compile(r"</script[^>]*>", re.I),
     "style": re.compile(r"</style[^>]*>", re.I),

@@ -149,7 +149,11 @@ def resolve_edge_classes(
     kg_build_audit's plan, 63 scans for 7 sources), so a caller that
     consumes resolved AND dropped lazily pays the join per branch.
     The pipeline itself snapshots stages to parquet instead (the
-    100 TB-honest form); the flag is for single-query composition."""
+    100 TB-honest form); the flag is for single-query composition.
+    Lifecycle: the cached blocks are MEMORY_AND_DISK (evictable under
+    pressure) and Spark's ContextCleaner unpersists them once the
+    returned DataFrames are garbage-collected — callers that loop
+    should still narrow ``edges`` to the columns they need first."""
     lk = class_lookup
     if broadcast_lookup:
         lk = F.broadcast(lk)

@@ -260,8 +260,12 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = kg_edges(spark, sf_dir)
     lookup = node_class_lookup(nodes).filter(~F.col("id").startswith("REGN:"))
     # materialize: r / d / pairs below all branch from this join — lazy
-    # composition would re-execute the full edge⋈lookup join per branch
-    resolved, dropped = resolve_edge_classes(edges, lookup, materialize=True)
+    # composition would re-execute the full edge⋈lookup join per branch.
+    # Narrowed to the three columns the audit needs so the checkpointed
+    # blocks stay small (they live until GC/eviction).
+    resolved, dropped = resolve_edge_classes(
+        edges.select("subject", "predicate", "object"), lookup, materialize=True
+    )
     pairs = predicate_class_pairs(resolved).select(
         "predicate",
         F.concat_ws(

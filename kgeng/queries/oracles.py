@@ -331,14 +331,14 @@ ORACLES: dict[str, str] = {
            CAST(list_sum(list_transform(generate_series(0, 63),
                i -> ascii(substr(text, 1 + (i * (length(text) - 1)) // 63, 1))
            )) AS BIGINT) AS checksum
-    FROM documents
+    FROM documents WHERE length(text) > 0
     """,
     "mm_frame_stats": """
     SELECT doc_id,
            CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames_total,
            CAST(((length(text) + 255) // 256 + 3) // 4 AS BIGINT) AS n_frames_sampled,
            md5(substr(text, 1, 256)) AS first_frame_md5
-    FROM documents
+    FROM documents WHERE length(text) > 0
     """,
     "dedup_exact": """
     WITH corpus AS (

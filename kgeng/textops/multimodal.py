@@ -121,7 +121,11 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_corpus(spark, sf_dir).select("doc_id", "payload")
+    # empty payloads are skipped on BOTH engines (an empty resize
+    # target is undefined; the oracle's closed-form assumes n >= 1)
+    m = media_corpus(spark, sf_dir).select("doc_id", "payload").filter(
+        F.length("payload") > 0
+    )
     return m.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
 
 
@@ -155,7 +159,11 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_corpus(spark, sf_dir).select("doc_id", "payload")
+    # empty payloads have zero frames and would emit no row at all —
+    # skipped symmetrically (the oracle filters length > 0 too)
+    m = media_corpus(spark, sf_dir).select("doc_id", "payload").filter(
+        F.length("payload") > 0
+    )
     return m.mapInPandas(_frame_batches, schema=FRAMES_SCHEMA)
 
 

@@ -119,6 +119,12 @@ def test_scanner_matches_reference_parser():
         b'<p title="a>b">gtattr</p>',
         b"<p><a href='x>y'>link</a> tail</p>",
         b'<p><img alt="1>2"/>imgtail</p>',
+        # ...but quotes OUTSIDE name="value" position are junk and the
+        # tag ends at the first '>' (html.parser honors quotes only
+        # after an attribute name + '=')
+        b'<p =">">eqquote</p>',
+        b'<p "bare>quoted">bare</p>',
+        b"<p data-x='ok' \">trail</p>",
         # entities split across tag boundaries stay literal (html.parser
         # unescapes per data run, never across tags)
         b"<p>&am<b>p;</b></p>",

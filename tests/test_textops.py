@@ -116,6 +116,24 @@ def test_streaming_stateful_user_totals(spark):
     assert got == expected
 
 
+def test_tws_plan_builds(spark):
+    """transformWithStateInPandas plan CONSTRUCTION runs in this
+    container (the protobuf state protocol is only needed once a query
+    starts) — so operator wiring (schemas, output mode, time mode)
+    gets executed coverage even where the parity test must skip."""
+    import os
+    import shutil
+
+    from kgeng.streaming.events import streaming_user_totals_tws
+
+    stream_dir = "/root/repo/.fixtures/stream_events_tws"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events.parquet")
+    df = streaming_user_totals_tws(spark, stream_dir)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "n_events", "total_value"]
+
+
 def test_transform_with_state_parity(spark):
     """The transformWithStateInPandas twin must reach the same final
     per-user totals as the applyInPandasWithState operator and the
@@ -164,11 +182,14 @@ def test_transform_with_state_parity(spark):
     }
     import pyspark.sql.functions as F
 
+    # round() in Python on the expected side too — the processor
+    # rounds with Python (banker's) semantics, and F.round (HALF_UP)
+    # could diverge at exact .5 boundaries
     expected = {
-        (r["user_id"], r["n"], r["tv"])
+        (r["user_id"], r["n"], round(r["tv"], 2))
         for r in spark.read.parquet(f"{stream_dir}/events.parquet")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
         .collect()
     }
     assert got == expected
