@@ -116,11 +116,39 @@ def extract_text_py_reference(html_bytes: bytes | None) -> str | None:
 # atomic group so the ambiguous [^>] fallback can never backtrack into
 # a parsed quoted value (linear scan on pathological unterminated tags).
 _TAG_AT = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
-    r"((?>(?:\s[a-zA-Z][^\s=/>]*\s*=\s*\"[^\"]*\""
-    r"|\s[a-zA-Z][^\s=/>]*\s*=\s*'[^']*'"
+    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
+    # quoted attrs enter at a whitespace//-boundary OR directly after a
+    # previous quoted value (html.parser's lookbehind allows both); the
+    # bulk run keeps ordinary attr text on a single C-speed scan
+    r"((?>(?:[\s/]+[^\s=/>\"']+\s*=\s*\"[^\"]*\""
+    r"|[\s/]+[^\s=/>\"']+\s*=\s*'[^']*'"
+    r"|[^\s=/>\"']+\s*=\s*\"[^\"]*\""
+    r"|[^\s=/>\"']+\s*=\s*'[^']*'"
+    r"|[^>\"'\s/]+"
     r"|[^>])*))>"
 )
+# `name='` / `name="` with NO spacing around '=' and no closing quote
+# anywhere later makes html.parser treat the tag as incomplete and
+# buffer silently to EOF (with spacing — `a ='`, `a= '` — or a doubled
+# '=', the tag just ends at the next '>'; probed matrix in the
+# differential tests). The quoted alternations in _TAG_AT consume a
+# closing quote anywhere in the document, so an unterminated tail
+# surviving in group(3) proves no closing quote exists.
+_UNTERM_QUOTE = re.compile(
+    r"(?:^|[\s/\"'])[^\s=/>\"']+=(['\"])(?:(?!\1).)*$", re.S
+)
+
+# an UNQUOTED attribute value (name=value with no quote) absorbs
+# trailing '/' chars in html.parser — `<p a=b/>` and `<p a=/>` are
+# ordinary start tags, while `<p x/>`, `<p a='c'/>`, `<p =/>` are
+# self-closing (differential-fuzzed matrix)
+_UNQUOTED_VAL_AT_END = re.compile(r"[^\s=/>\"']+\s*=\s*[^\s>'\"][^\s>]*$")
+
+# end-tag grammar (html.parser's endtagfind): whitespace allowed after
+# '</', name charset restricted vs start tags; non-matching '</...' is
+# a bogus comment
+_END_TAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
 _CDATA_CLOSE = {
     "script": re.compile(r"</script[^>]*>", re.I),
     "style": re.compile(r"</style[^>]*>", re.I),
@@ -175,43 +203,40 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             break
         if lt > i and p_depth and not skip_depth:
             buf.append(unescape(doc[i:lt]))
-        if doc.startswith("<!--", lt):
+        # single-char dispatch on what follows '<' (cheaper than a
+        # startswith cascade at ~800 tags/page)
+        nxt = doc[lt + 1] if lt + 1 < n else ""
+        if nxt == "!" and doc.startswith("<!--", lt):
             end = find("-->", lt + 4)
-            i = n if end == -1 else end + 3
+            if end != -1:
+                i = end + 3
+                continue
+            # no '-->' terminator: html.parser degrades the comment
+            # opener to literal DATA through the next '>' inclusive
+            # (so '<!-->' and '<!--->' are text, and a following real
+            # end tag can be consumed) — probed matrix in the tests
+            gt = find(">", lt + 4)
+            if gt == -1:
+                if p_depth and not skip_depth:
+                    buf.append(unescape(doc[lt:]))
+                break
+            if p_depth and not skip_depth:
+                buf.append(unescape(doc[lt : gt + 1]))
+            i = gt + 1
             continue
-        m = _TAG_AT.match(doc, lt)
-        if not m:
-            # declaration / processing instruction / stray '<'
-            if doc.startswith(("<!", "<?"), lt):
-                gt = find(">", lt)
+        if nxt == "/":
+            # end tags have their own (stricter) grammar in html.parser:
+            # optional whitespace after '</', restricted name charset;
+            # anything else is a BOGUS COMMENT swallowed through the
+            # next '>' — which can eat a following real end tag, exactly
+            # like the reference (differential-fuzzed)
+            em = _END_TAG.match(doc, lt)
+            if not em:
+                gt = find(">", lt + 2)
                 i = n if gt == -1 else gt + 1
                 continue
-            if p_depth and not skip_depth:
-                buf.append("<")
-            i = lt + 1
-            continue
-        closing, name = m.group(1), m.group(2).lower()
-        # '/' before '>' OUTSIDE quotes (group 3 ends the attr region);
-        # group(0).endswith('/>') would misread <p class="a/">
-        self_closing = m.group(3).endswith("/")
-        i = m.end()
-        if not closing:
-            if name in _CDATA_CLOSE and not self_closing:
-                close = _CDATA_CLOSE[name].search(doc, i)
-                i = n if close is None else close.end()
-                continue
-            if name in _VOID or self_closing and name not in _SKIP_SUBTREE and name != "p":
-                continue
-            if name in _SKIP_SUBTREE:
-                if not self_closing:
-                    skip_depth += 1
-            elif name == "p" and skip_depth == 0:
-                if p_depth == 0:
-                    buf = []
-                if self_closing:
-                    continue  # opens and closes: empty paragraph, dropped
-                p_depth += 1
-        else:
+            name = em.group(1).lower()
+            i = em.end()
             if name in _SKIP_SUBTREE:
                 if skip_depth:
                     skip_depth -= 1
@@ -221,6 +246,50 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
                     text = _WS.sub(" ", "".join(buf)).strip()
                     if text:
                         paras.append(text)
+            continue
+        if nxt == "!" or nxt == "?":
+            # declaration / processing instruction
+            gt = find(">", lt)
+            i = n if gt == -1 else gt + 1
+            continue
+        m = _TAG_AT.match(doc, lt)
+        if not m:
+            # stray '<'
+            if p_depth and not skip_depth:
+                buf.append("<")
+            i = lt + 1
+            continue
+        name = m.group(2).lower()
+        attrs = m.group(3)
+        # unterminated name=" / name=' (swallow-to-EOF) is only
+        # possible when the LAST =q occurrence has no q after it —
+        # C-speed precheck keeps the regex off the hot path
+        k = attrs.rfind('="')
+        if k != -1 and attrs.find('"', k + 2) == -1 and _UNTERM_QUOTE.search(attrs):
+            break  # incomplete tag: buffered silently to EOF
+        k = attrs.rfind("='")
+        if k != -1 and attrs.find("'", k + 2) == -1 and _UNTERM_QUOTE.search(attrs):
+            break
+        # '/' before '>' OUTSIDE quotes (group 3 ends the attr region;
+        # group(0).endswith('/>') would misread <p class="a/">) and
+        # not absorbed into an unquoted attribute value
+        self_closing = attrs.endswith("/") and not _UNQUOTED_VAL_AT_END.search(attrs)
+        i = m.end()
+        if name in _CDATA_CLOSE and not self_closing:
+            close = _CDATA_CLOSE[name].search(doc, i)
+            i = n if close is None else close.end()
+            continue
+        if name in _VOID or self_closing and name not in _SKIP_SUBTREE and name != "p":
+            continue
+        if name in _SKIP_SUBTREE:
+            if not self_closing:
+                skip_depth += 1
+        elif name == "p" and skip_depth == 0:
+            if p_depth == 0:
+                buf = []
+            if self_closing:
+                continue  # opens and closes: empty paragraph, dropped
+            p_depth += 1
     return "\n".join(paras)
 
 
