@@ -152,6 +152,21 @@ def _detect_mentions_join(
         emit_ngrams, schema="url string, pos int, w int, surface string, alias_norm string"
     )
     matched = cand.join(norms, "alias_norm")
+    # Pre-reduce to the max-w match per (url, pos) BEFORE collecting:
+    # the greedy cursor can only ever accept the widest match at a
+    # position (it sorts (pos, -w) and jumps past every shorter one),
+    # so this aggregation is semantics-preserving — and it bounds the
+    # collected per-page array at O(tokens) instead of O(tokens×max_n),
+    # which on a dictionary-dense page could otherwise hit per-row /
+    # shuffle-record limits at the 10⁷-alias scale (ADVICE r3). Ties
+    # in w at one pos are the SAME n-gram (same surface, same norm),
+    # so max_by's tie choice is immaterial. The partial (map-side)
+    # max_by collapses most duplicates before the shuffle.
+    matched = (
+        matched.groupBy("url", "pos")
+        .agg(F.max_by(F.struct("w", "surface", "alias_norm"), F.col("w")).alias("c"))
+        .select("url", "pos", "c.w", "c.surface", "c.alias_norm")
+    )
     sorted_cands = F.array_sort(
         F.collect_list(
             F.struct(

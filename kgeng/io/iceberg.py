@@ -199,24 +199,45 @@ class IcebergLineage:
 
     def commit(
         self,
-        df,
         stage: str,
         fingerprint: str,
         row_count: int,
+        output_path: str | None = None,
         content_hash: str | None = None,
         metrics: dict | None = None,
+        df=None,
     ) -> dict:
+        """Same positional shape as ``LineageLog.commit`` so
+        ``Pipeline._stage`` can hold either backend unmodified (the
+        seam SURVEY §7.3 planned; conformance-tested in
+        ``tests/test_iceberg.py``). Here ``df`` is REQUIRED — an
+        Iceberg commit is the atomic data append that carries the
+        lineage record in its snapshot summary — and ``output_path``
+        is advisory (the table is the output; recorded as given, else
+        the table identifier)."""
+        if df is None:
+            raise ValueError(
+                "IcebergLineage.commit appends the stage output atomically "
+                "with its lineage record: pass df="
+            )
         rec = {
             "stage": stage,
             "input_fingerprint": fingerprint,
             "row_count": row_count,
-            "output_path": self.table,
+            "output_path": output_path or self.table,
             "content_hash": content_hash,
             "metrics": metrics or {},
         }
+        self._append(df, rec)
+        return rec
+
+    def _append(self, df, rec: dict) -> None:
+        """The physical commit: append ``df`` with the lineage record
+        as a snapshot-summary property (one atomic Iceberg snapshot).
+        Isolated so the jar-less conformance test can fake ONLY the
+        I/O while exercising the real record/protocol logic."""
         (
             df.writeTo(self.table)
             .option("snapshot-property." + self.SUMMARY_KEY, json.dumps(rec))
             .append()
         )
-        return rec

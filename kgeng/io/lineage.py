@@ -78,7 +78,14 @@ class LineageLog:
         output_path: str,
         content_hash: str | None = None,
         metrics: dict | None = None,
+        df=None,
     ) -> dict:
+        """Commit a stage. ``df`` is accepted (and ignored) so both
+        lineage backends share one signature — here the stage output is
+        already on disk at ``output_path`` by commit time, while the
+        Iceberg backend's commit IS the data append
+        (``kgeng.io.iceberg.IcebergLineage.commit``);
+        ``tests/test_iceberg.py`` holds the conformance test."""
         rec = {
             "stage": stage,
             "input_fingerprint": fingerprint,

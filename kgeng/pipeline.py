@@ -77,7 +77,10 @@ class Pipeline:
         write_partitioned(df, out_path, partition_by=partition_by)
         n = _parquet_rows(out_path)
         m = {"rows": n, "seconds": round(time.time() - t0, 3)}
-        self.log.commit(name, fp, n, out_path, metrics=m)
+        # df= is ignored by the parquet LineageLog (data already on
+        # disk) and is the atomic append for an IcebergLineage backend —
+        # the one-signature seam both backends conform to.
+        self.log.commit(name, fp, n, out_path, metrics=m, df=df)
         self.metrics[name] = {"skipped": False, **m}
         return out_path
 

@@ -108,9 +108,13 @@ def _label_check(nodes: DataFrame, incident: DataFrame, key: str, label: str) ->
     one pass over each input — a two-step distinct+semi-join variant
     re-executes the whole ``incident`` lineage three times per check
     (measured 240 s vs 3 s on this query set). Inner join ≡ semi join
-    here because kg node ids are unique by construction.
-    ``tests/test_plans.py`` gates that the node table never appears
-    under a broadcast/build side unreduced."""
+    here because kg node ids are unique by construction — and note the
+    dependence is on COUNTS, not just membership: a duplicated node id
+    would multiply incident rows and inflate kg_one_hop's per-predicate
+    counts (kg_two_hop_closure is immune via countDistinct).
+    ``tests/test_queries_oracle.py::test_kg_node_ids_unique`` enforces
+    the invariant; ``tests/test_plans.py`` gates that the node table
+    never appears under a broadcast/build side unreduced."""
     tagged = nodes.select(F.col("id").alias("_lid"), F.col("category").alias("_lcat"))
     return (
         tagged.join(F.broadcast(incident), F.col(key) == F.col("_lid"))
@@ -258,7 +262,15 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
-    lookup = node_class_lookup(nodes).filter(~F.col("id").startswith("REGN:"))
+    # node_class non-null filter: the Spark side splits resolved/dropped
+    # on join-key nullness while the oracle splits on class nullness —
+    # identical only when no lookup entry carries a null class (a node
+    # with an empty category array would otherwise count resolved here
+    # and dropped there, ADVICE r3). Filtering the lookup makes the two
+    # splits coincide by construction, on both engines.
+    lookup = node_class_lookup(nodes).filter(
+        ~F.col("id").startswith("REGN:") & F.col("node_class").isNotNull()
+    )
     # materialize: r / d / pairs below all branch from this join — lazy
     # composition would re-execute the full edge⋈lookup join per branch.
     # Narrowed to the three columns the audit needs so the checkpointed
@@ -385,19 +397,41 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_PARTS_SALT_BUCKETS = 16
+
+
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via window: top 3 parts by total quantity within
-    each brand (deterministic tie-break on partkey)."""
+    """Top-k per group: top 3 parts by total quantity within each brand
+    (deterministic tie-break on partkey).
+
+    Salted two-phase top-k (the pattern proven in ``doc_domain_quota``
+    and the pipeline's publication cap): a single window partitioned
+    by brand gives ≤ |brands| tasks — 25 brands means 25 tasks each
+    sorting |parts|/25 rows no matter how many executors exist.
+    Phase 1 ranks within (brand, salt-of-partkey) — parallelism
+    |brands|×SALT — and keeps its top-3; the global per-brand top-3 is
+    a subset of the per-salt top-3s, so phase 2's per-brand window
+    ranks a ≤ 3×SALT bounded survivor set and the output (ranks
+    included) is identical to the unsalted window; the oracle is
+    unchanged."""
     part = read_table(spark, sf_dir, "part")
     line = read_table(spark, sf_dir, "lineitem")
     per_part = (
         line.join(part, line["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_partkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("p_partkey").cast("string")), F.lit(TOP_PARTS_SALT_BUCKETS)),
+        )
     )
-    w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+    w1 = Window.partitionBy("p_brand", "_salt").orderBy(
+        F.col("total_qty").desc(), F.col("p_partkey")
+    )
+    survivors = per_part.withColumn("_rk1", F.row_number().over(w1)).filter(F.col("_rk1") <= 3)
+    w2 = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
     return (
-        per_part.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 3)
         .select("p_brand", "p_partkey", "total_qty", "rank")
     )

@@ -465,7 +465,8 @@ ORACLES: dict[str, str] = {
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
     ),
-    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 40 = 0),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
     assigned AS (
       SELECT neighbor_id, v, nrm, cent_id FROM (
         SELECT c.vec_id AS neighbor_id, c.v, c.nrm, ct.cent_id,
@@ -627,8 +628,11 @@ ORACLES: dict[str, str] = {
     "kg_build_audit": KG_PRELUDE
     + """
     , lookup AS (
+      -- class non-null filter mirrored from the Spark side: makes the
+      -- key-nullness split (Spark) and class-nullness split (here)
+      -- coincide by construction (ADVICE r3)
       SELECT id, category_reordered[1] AS node_class
-      FROM nodes WHERE id NOT LIKE 'REGN:%'
+      FROM nodes WHERE id NOT LIKE 'REGN:%' AND category_reordered[1] IS NOT NULL
     ),
     joined AS (
       SELECT e.predicate,

@@ -429,7 +429,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space |bucket|², never the |corpus|² cross product the old
     plan shipped; the DuckDB oracle mirrors the bucket family
     bit-for-bit, so the graded comparison covers the blocking step
-    too."""
+    too. Bit-count sizing (scale note): 12 bits is
+    ``similarity.lsh_bits_for``'s rule at n≈130k; at larger corpora
+    the constant grows with log(n) to keep bucket occupancy flat —
+    see BENCH.md §4."""
     from kgeng.textops.similarity import _lsh_bucket
 
     e = dup_embedding_corpus(spark, sf_dir)

@@ -50,6 +50,65 @@ def test_kg_table_ddl_covers_layout():
     assert "PARTITIONED BY (node_class)" in nodes
 
 
+class _FakeIcebergLineage(IcebergLineage):
+    """IcebergLineage with ONLY the physical I/O faked (no jar in the
+    sandbox): snapshot summaries live in a list, the record/protocol
+    logic is the real class's."""
+
+    def __init__(self, table: str):
+        self.table = table
+        self._summaries: list[dict] = []
+
+    def _append(self, df, rec) -> None:
+        import json
+
+        self._summaries.append({self.SUMMARY_KEY: json.dumps(rec)})
+
+    def _snapshots(self):
+        # entries() indexes rows by key; plain dicts duck-type Spark Rows
+        return [{"snapshot_id": i, "summary": s} for i, s in enumerate(self._summaries)]
+
+
+def _backends(tmp_path):
+    from kgeng.io.lineage import LineageLog
+
+    return [LineageLog(str(tmp_path)), _FakeIcebergLineage("kg.graph.nodes")]
+
+
+def test_lineage_backend_conformance(tmp_path, spark):
+    """Both lineage backends satisfy ONE protocol — identical
+    ``commit(stage, fingerprint, row_count, output_path, ...)``
+    signature (VERDICT r3 #4: they used to diverge on df-vs-path) and
+    identical committed()/entries() round-trip semantics — so
+    ``Pipeline._stage`` can hold either unmodified."""
+    import inspect
+
+    from kgeng.io.lineage import LineageLog
+
+    sig_log = inspect.signature(LineageLog.commit)
+    sig_ice = inspect.signature(IcebergLineage.commit)
+    assert list(sig_log.parameters) == list(sig_ice.parameters)
+
+    df = spark.range(3)
+    for be in _backends(tmp_path):
+        assert be.committed("extract", "fp01") is None
+        rec = be.commit("extract", "fp01", 3, "/out/extract", metrics={"seconds": 1.5}, df=df)
+        assert rec["stage"] == "extract" and rec["row_count"] == 3
+        got = be.committed("extract", "fp01")
+        assert got is not None and got["input_fingerprint"] == "fp01"
+        assert got["metrics"] == {"seconds": 1.5}
+        assert be.committed("extract", "other") is None
+        assert [e["stage"] for e in be.entries()] == ["extract"]
+
+
+def test_iceberg_commit_requires_df(spark):
+    import pytest as _pytest
+
+    be = _FakeIcebergLineage("kg.graph.nodes")
+    with _pytest.raises(ValueError, match="df="):
+        be.commit("s", "fp", 1, "/out")
+
+
 def test_runtime_gates_cleanly(spark):
     """No Iceberg jar in this sandbox: availability is False and the
     backend refuses construction with an actionable message instead of

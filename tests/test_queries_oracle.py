@@ -39,6 +39,40 @@ def test_all_queries_have_oracles_or_are_documented():
     assert missing == set(), f"unexpected oracle-less queries: {missing}"
 
 
+def test_kg_node_ids_unique(spark):
+    """_label_check replaces left-semi joins with inner joins, so
+    kg_one_hop's per-predicate COUNTS (not just membership) depend on
+    node-id uniqueness (ADVICE r3). Enforce the invariant the docstring
+    states."""
+    from pyspark.sql import functions as F
+
+    from kgeng.queries.corpus import kg_nodes
+
+    dupes = (
+        kg_nodes(spark, SF_DIR)
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    assert dupes == [], f"duplicated kg node ids: {dupes}"
+
+
+def test_documents_fixture_is_ascii():
+    """mm_resize / mm_frame_stats oracles do DuckDB char arithmetic
+    against Spark's byte arithmetic over the utf-8 payload — identical
+    only while document text is pure ASCII (ADVICE r3). Fail loudly if
+    a future corpus change breaks that assumption."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, f"{n} non-ASCII documents; byte/char oracle arithmetic diverges"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

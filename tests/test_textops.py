@@ -79,8 +79,39 @@ def test_ann_ivf_shape_and_recall(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert len(per_q) == 10
-    # probing 3/13 lists of random vectors: just require nonzero overlap
+    # probing 3/32 lists of random vectors: just require nonzero overlap
     assert len(got & exact) > 0
+
+
+def test_lsh_bits_sizing_rule():
+    """The hyperplane bucket width must grow with log(corpus): the
+    documented rule reproduces the pinned constant at its design point
+    and is monotone (BENCH.md §4)."""
+    from kgeng.textops.similarity import LSH_BITS, lsh_bits_for
+
+    assert lsh_bits_for(130_000) == LSH_BITS
+    assert lsh_bits_for(130_000 * 100) > LSH_BITS  # 100× corpus → more bits
+    bits = [lsh_bits_for(n) for n in (100, 10_000, 10**6, 10**9, 10**12)]
+    assert bits == sorted(bits)
+    # occupancy stays near target: n / 2^bits in [target/2, 2*target]
+    for n in (10**4, 10**6, 10**9):
+        occ = n / 2 ** lsh_bits_for(n)
+        assert 16 <= occ <= 64, (n, occ)
+
+
+def test_ivf_centroid_count_is_corpus_size_independent(spark):
+    """Scale gate (VERDICT r3 #1): |centroids| must be a CONSTANT, not
+    grow with the table — a growing centroid set makes the broadcast
+    assignment quadratic at 100×. Doubling the corpus must leave the
+    selection at exactly N_CENTROIDS rows."""
+    from pyspark.sql import functions as F
+
+    from kgeng.textops.similarity import N_CENTROIDS, _emb, _ivf_centroids
+
+    e = _emb(spark, SF_DIR)
+    assert _ivf_centroids(e).count() == N_CENTROIDS
+    doubled = e.union(e.withColumn("vec_id", F.col("vec_id") + 100000))
+    assert _ivf_centroids(doubled).count() == N_CENTROIDS
 
 
 def test_streaming_stateful_user_totals(spark):
@@ -143,6 +174,9 @@ def test_transform_with_state_parity(spark):
     import os
     import shutil
 
+    # the sandbox forbids pip/apt installs, so the skip cannot be
+    # closed here (checked again round 4: `import google.protobuf`
+    # fails; the plan-builds twin below this test does run)
     pytest.importorskip(
         "google.protobuf", reason="transformWithState state protocol needs protobuf"
     )
