@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_lang_id",
     "doc_pii_scrub",
     "doc_domain_quota",
+    "doc_decontam",
     "doc_repetition",
     "dedup_exact",
     # dedup_cluster_assign is graded for correctness but not benched:

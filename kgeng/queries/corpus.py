@@ -469,6 +469,7 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
+    doc_decontam,
     doc_domain_quota,
     doc_fingerprint,
     doc_lang_id,
@@ -502,6 +503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_domain_quota": doc_domain_quota,
+    "doc_decontam": doc_decontam,
     "doc_repetition": doc_repetition,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -326,6 +326,27 @@ ORACLES: dict[str, str] = {
                AS repetition_ratio
     FROM per GROUP BY doc_id
     """,
+    "doc_decontam": """
+    -- word 13-gram eval-overlap scan; shingle family mirrors the
+    -- Spark side exactly (\\s+ tokens, per-doc-distinct shingles,
+    -- eval slice = doc_id < 20)
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 12, 0)),
+                 i -> array_to_string(tk[i:i+12], ' ')
+             ))) AS sh
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_shingles
+    FROM sh c JOIN ev USING (sh)
+    WHERE c.doc_id >= 20
+    GROUP BY c.doc_id
+    """,
     "mm_resize": """
     SELECT doc_id, 64 AS n_bytes_out,
            CAST(list_sum(list_transform(generate_series(0, 63),

@@ -219,3 +219,58 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_distinct_fp"),
         )
     )
+
+
+# Benchmark decontamination: the eval-overlap scan every serious
+# training-data pipeline runs before training (the 13-gram rule used
+# for GPT-3/PaLM-style test-set filtering). The "benchmark" here is a
+# deterministic slice of the documents table itself (doc_id <
+# DECONTAM_EVAL_DOCS) so tests need no external data; in production
+# the eval side is the benchmark suite — a few MB against a 100 TB
+# corpus, which is exactly why the plan broadcasts the eval shingle
+# set and only ever STREAMS the corpus (gated in tests/test_plans.py).
+DECONTAM_W = 13
+DECONTAM_EVAL_DOCS = 20
+
+
+def _word_shingles(text: Column, w: int) -> Column:
+    """Distinct word w-grams of ``text`` (\\s+ tokenization, same rule
+    as the token-count family); empty when the doc has < w tokens.
+    DuckDB twin: list_distinct(list_transform(generate_series(...),
+    i -> array_to_string(tk[i:i+w-1], ' ')))."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    )
+
+
+def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated corpus docs: every doc (doc_id >= eval slice)
+    sharing at least one word 13-gram with the eval set, with the
+    count of distinct overlapping shingles.
+
+    Scale shape: the eval side is reduced to DISTINCT shingles and
+    broadcast (benchmark suites are dimension-sized at any corpus
+    scale); the corpus side explodes per-doc-distinct shingles and
+    streams through the broadcast hash join — one pass, no shuffle of
+    the corpus, aggregation collapses map-side per doc."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), DECONTAM_W)).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") < DECONTAM_EVAL_DOCS).select("sh").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= DECONTAM_EVAL_DOCS)
+    return (
+        corpus.join(F.broadcast(ev), "sh")
+        # both join inputs are distinct on sh (per doc / globally), so
+        # count(*) IS the distinct-overlap count — no countDistinct
+        # state needed
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_shingles"))
+    )

@@ -112,6 +112,19 @@ def test_ivf_assignment_is_aggregated_not_windowed(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_decontam_broadcasts_eval_side_only(spark):
+    """Decontamination joins a 100-TB corpus against a benchmark-sized
+    eval set: the eval shingle set must be the broadcast build side
+    (after its distinct aggregate) and the corpus must stream — a
+    shuffled/sort-merge join here would shuffle the whole exploded
+    corpus by shingle."""
+    from kgeng.textops.analysis import doc_decontam
+
+    plan = plan_of(doc_decontam(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def _join_right_subtrees(plan_str: str):
     """Yield (head_line, right_subtree_text) for every Join in a
     logical plan tree string. Depth = leading ':  '/'   '/':- '/'+- '
