@@ -74,12 +74,14 @@ HEADLINE = [
     "q_revenue_by_nation",
     "q_top_parts_per_brand",
     "q_events_sessions",
+    "q_events_asof",
     # training-data ops
     "doc_quality",
     "doc_lang_id",
     "doc_pii_scrub",
     "doc_domain_quota",
     "doc_decontam",
+    "doc_filter_chain",
     "doc_repetition",
     "dedup_exact",
     # dedup_cluster_assign is graded for correctness but not benched:
@@ -124,7 +126,8 @@ EXPECT_S = {
     "q_pricing_summary": 0.26, "q_revenue_by_nation": 0.96,
     "q_top_parts_per_brand": 0.63, "q_events_sessions": 0.43,
     "doc_quality": 0.26, "doc_lang_id": 0.39, "doc_pii_scrub": 0.27,
-    "doc_domain_quota": 0.39, "doc_repetition": 0.88, "dedup_exact": 0.31,
+    "doc_domain_quota": 0.39, "doc_decontam": 0.87, "doc_repetition": 0.88,
+    "dedup_exact": 0.31,
     "dedup_embedding_cosine": 1.66, "dedup_minhash_lsh": 6.4,
     "dedup_simhash": 4.6, "ann_cosine_topk": 0.6, "ann_lsh_topk": 0.9,
     "ann_ivf_topk": 1.1, "mm_features": 0.34,

@@ -437,6 +437,83 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the temporal lookup Spark has no native operator
+    for: for each user and each of 3 deterministic checkpoint times
+    (quartiles of the user's own event span, whole-second arithmetic
+    on both engines), the latest event at-or-before the checkpoint.
+
+    Implemented as the scalable union + running-last idiom rather than
+    a range join: probes and events union into one stream, one shuffle
+    partitions by user, and a rows-frame window carries the last seen
+    event forward — O(1) window state (the sort spills externally),
+    no |events|×|probes| range-join blowup, no per-group memory. Ties
+    are exact on both engines: whole-second timestamps, events sort
+    before probes at the same second (kind 0 < 1), equal-second events
+    resolve to the max event_id (mirrored by the oracle's ORDER BY
+    tsec DESC, event_id DESC)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        # NTZ -> TS -> whole seconds (ANSI forbids the direct cast);
+        # matches the oracle's floor(epoch(ts))
+        F.col("ts").cast("timestamp").cast("long").alias("tsec"),
+        "event_id",
+        "value",
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("tsec").alias("cmin"), F.max("tsec").alias("cmax")
+    )
+    probes = bounds.select(
+        "user_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("checkpoint"),
+        "cmin",
+        "cmax",
+    ).select(
+        "user_id",
+        "checkpoint",
+        (
+            F.col("cmin")
+            + (F.col("checkpoint") * (F.col("cmax") - F.col("cmin")) / 4).cast("long")
+        ).alias("tsec"),
+    )
+    e_tag = ev.select(
+        "user_id",
+        "tsec",
+        F.lit(0).alias("kind"),
+        "event_id",
+        "value",
+        F.lit(None).cast("int").alias("checkpoint"),
+    )
+    p_tag = probes.select(
+        "user_id",
+        "tsec",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "checkpoint",
+    )
+    u = e_tag.unionByName(p_tag)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "kind",
+        "checkpoint",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_event_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("asof_value"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "user_id", "checkpoint", "asof_event_id", "asof_value"
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed event rollup (the batch twin of the streaming
     windowed agg in kgeng.streaming)."""
@@ -471,6 +548,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
     doc_decontam,
     doc_domain_quota,
+    doc_filter_chain,
     doc_fingerprint,
     doc_lang_id,
     doc_pii_scrub,
@@ -504,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_domain_quota": doc_domain_quota,
     "doc_decontam": doc_decontam,
+    "doc_filter_chain": doc_filter_chain,
     "doc_repetition": doc_repetition,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -535,6 +614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_top_parts_per_brand": q_top_parts_per_brand,
+    "q_events_asof": q_events_asof,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
 }

@@ -326,6 +326,48 @@ ORACLES: dict[str, str] = {
                AS repetition_ratio
     FROM per GROUP BY doc_id
     """,
+    "doc_filter_chain": """
+    -- C4-style keep/drop gate; every threshold is an integer
+    -- cross-multiplication (no float boundary), reasons ordered
+    -- first-failing exactly like the Spark CASE chain
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(tk) AS n_tok,
+             list_sum(list_transform(tk, s -> length(s))) AS sum_len,
+             n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                 AS n_sym,
+             n_chars,
+             len(list_filter(tk,
+                 s -> s = 'the' OR s = 'a' OR s = 'of' OR s = 'and')) AS n_stop
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM t
+    ),
+    per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    rep AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_bg FROM per GROUP BY doc_id),
+    decided AS (
+      SELECT b.doc_id,
+             CASE
+               WHEN b.n_tok < 15 THEN 'too_short'
+               WHEN b.sum_len < 3 * b.n_tok OR b.sum_len > 10 * b.n_tok
+                 THEN 'token_len'
+               WHEN b.n_sym * 10 >= b.n_chars THEN 'symbols'
+               WHEN b.n_stop = 0 THEN 'no_stopwords'
+               WHEN r.top_bg * 5 >= r.n_bg THEN 'repetition'
+               ELSE 'kept'
+             END AS reason
+      FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+    )
+    SELECT doc_id, reason, reason = 'kept' AS keep FROM decided
+    """,
     "doc_decontam": """
     -- word 13-gram eval-overlap scan; shingle family mirrors the
     -- Spark side exactly (\\s+ tokens, per-doc-distinct shingles,
@@ -561,6 +603,31 @@ ORACLES: dict[str, str] = {
     SELECT user_id, COUNT(*) AS n_sessions,
            ROUND(AVG(n_events), 4) AS avg_session_events
     FROM per_session GROUP BY user_id
+    """,
+    "q_events_asof": """
+    -- as-of join twin: whole-second arithmetic everywhere (Spark's
+    -- cast(ts as long) == floor(epoch)); the quadratic probe×event
+    -- join is oracle-only — the Spark side is the linear union +
+    -- running-last window. Ties: max event_id within a second.
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             event_id, value
+      FROM events
+    ),
+    b AS (SELECT user_id, MIN(tsec) AS cmin, MAX(tsec) AS cmax FROM e GROUP BY user_id),
+    p AS (
+      SELECT user_id, i AS checkpoint,
+             cmin + (i * (cmax - cmin)) // 4 AS cts
+      FROM b, (SELECT unnest([1, 2, 3]) AS i)
+    ),
+    j AS (
+      SELECT p.user_id, p.checkpoint, e.event_id, e.value,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.checkpoint
+                                ORDER BY e.tsec DESC, e.event_id DESC) AS r
+      FROM p JOIN e ON e.user_id = p.user_id AND e.tsec <= p.cts
+    )
+    SELECT user_id, checkpoint, event_id AS asof_event_id, value AS asof_value
+    FROM j WHERE r = 1
     """,
     "q_events_json": """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -274,3 +274,71 @@ def doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_eval_shingles"))
     )
+
+
+# C4-style keep/drop gate: the composed filter decision a web-scale
+# training-data pipeline actually materializes (the individual signals
+# above are its inputs). Thresholds compare CROSS-MULTIPLIED INTEGERS
+# (sum_len < 3·n_tok, n_sym·10 ≥ n_chars, top_bigram·5 ≥ n_bigrams) so
+# there is no float boundary to disagree on across engines.
+FILTER_MIN_TOKENS = 15
+FILTER_STOPWORDS = ["the", "a", "of", "and"]
+
+
+def doc_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop decision with the FIRST failing reason
+    (C4-family rules): too_short (< 15 tokens), token_len (mean token
+    length outside [3, 10]), symbols (≥ 10% non-alphanumeric), 
+    no_stopwords (zero common-word hits — non-language detector),
+    repetition (top bigram ≥ 20% of bigrams), else kept.
+
+    One pass computes the per-row signals (codegen expressions); the
+    repetition signal joins back one per-doc aggregate — the only
+    shuffle, map-side-combined on doc_id."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", ""))
+        ).alias("n_sym"),
+        F.length("text").alias("n_chars"),
+        stopword_count(F.col("text"), FILTER_STOPWORDS).alias("n_stop"),
+    )
+    # per-doc repetition aggregate (same bigram kernel as doc_repetition)
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    per = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bg"), F.max("c").alias("top_bg")
+    )
+    j = base.join(rep, "doc_id", "left")
+    reason = (
+        F.when(F.col("n_tok") < FILTER_MIN_TOKENS, F.lit("too_short"))
+        .when(
+            (F.col("sum_len") < 3 * F.col("n_tok"))
+            | (F.col("sum_len") > 10 * F.col("n_tok")),
+            F.lit("token_len"),
+        )
+        .when(F.col("n_sym") * 10 >= F.col("n_chars"), F.lit("symbols"))
+        .when(F.col("n_stop") == 0, F.lit("no_stopwords"))
+        .when(F.col("top_bg") * 5 >= F.col("n_bg"), F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "kept").alias("keep")
+    )

@@ -83,6 +83,39 @@ def test_ann_ivf_shape_and_recall(spark):
     assert len(got & exact) > 0
 
 
+def test_filter_chain_every_reason(spark, tmp_path):
+    """The synthetic corpus only exercises kept/no_stopwords/too_short
+    at the graded SFs; pin every branch (and its first-failing order)
+    on crafted documents."""
+    from kgeng.textops.analysis import doc_filter_chain
+
+    docs = [
+        (1, "a b c"),                                   # 3 tokens
+        (2, " ".join(["a"] * 20)),                      # mean len 1 < 3
+        (3, " ".join(["abcdefghijklm"] * 16)),          # mean len 13 > 10
+        (4, " ".join(["abc!!"] * 16)),                  # 32 sym / 95 chars
+        (5, " ".join(["xyzq"] * 16)),                   # zero stopwords
+        (6, " ".join(["the cat"] * 10)),                # top bigram 10/19
+        (7, "the quick brown fox jumps over a lazy dog and then runs far away home tonight"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in doc_filter_chain(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: ("too_short", False),
+        2: ("token_len", False),
+        3: ("token_len", False),
+        4: ("symbols", False),
+        5: ("no_stopwords", False),
+        6: ("repetition", False),
+        7: ("kept", True),
+    }
+
+
 def test_lsh_bits_sizing_rule():
     """The hyperplane bucket width must grow with log(corpus): the
     documented rule reproduces the pinned constant at its design point
