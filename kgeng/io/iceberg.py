@@ -156,9 +156,16 @@ def kg_table_ddl(catalog: str = "kg", db: str = "graph") -> list[str]:
 
 class IcebergLineage:
     """The LineageLog protocol (``committed`` / ``commit`` / ``entries``)
-    over Iceberg snapshot-summary properties — same three calls the
-    pipeline already makes, so swapping backends is a constructor
-    change (the seam SURVEY §7.3 planned).
+    over Iceberg snapshot-summary properties — same three calls, same
+    ``commit`` signature (conformance-tested in ``tests/test_iceberg``).
+
+    Seam scope: ``Pipeline._stage`` — every single-output stage —
+    holds either backend unmodified. The two MULTI-output stages
+    (``stage_link_dims`` writes one parquet dir per dim table,
+    ``stage_materialize`` writes nodes + edges) commit once for the
+    whole stage today; on an Iceberg deployment each output is its own
+    table, so those stages map to one ``IcebergLineage(table).commit``
+    per output rather than holding a single backend instance.
 
     ``commit`` appends the stage output with the lineage record in the
     snapshot summary; ``committed`` answers resume checks from the

@@ -129,6 +129,10 @@ class Pipeline:
         for name, df in dims.items():
             write_partitioned(df, f"{out_path}/{name}")
         m = {"rows": _parquet_rows(out_path), "seconds": round(time.time() - t0, 3)}
+        # multi-output stage: one metadata commit covers all dim dirs;
+        # an Iceberg deployment commits per dim TABLE instead (see
+        # IcebergLineage docstring — this call site is parquet-backend
+        # only by design)
         self.log.commit("link_dims", fp, m["rows"], out_path, metrics=m)
         self.metrics["link_dims"] = {"skipped": False, **m}
         return out_path
@@ -278,6 +282,8 @@ class Pipeline:
         if dup_ids:
             raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
         m = {"nodes": n_nodes, "edges": n_edges, "seconds": round(time.time() - t0, 3)}
+        # multi-output stage (nodes + edges): parquet-backend commit;
+        # Iceberg maps this to one commit per table (see IcebergLineage)
         self.log.commit("materialize", fp, n_nodes + n_edges, edges_out, metrics=m)
         self.metrics["materialize"] = {"skipped": False, **m}
         return nodes_out, edges_out

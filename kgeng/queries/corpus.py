@@ -498,19 +498,25 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tsec", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct carried by ONE last(): event_id and value must come
+    # from the SAME as-of event. Two independent ignorenulls last()
+    # calls skip NULLs separately — an as-of event with a NULL value
+    # would pair its event_id with some OLDER event's value (review
+    # r4: confirmed divergence vs the oracle on a NULL-value corpus).
+    # The struct is non-null for every event row even when value is
+    # NULL inside it, so ignorenulls only skips probe rows.
+    ev_struct = F.when(F.col("kind") == 0, F.struct("event_id", "value"))
     carried = u.select(
         "user_id",
         "kind",
         "checkpoint",
-        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("asof_event_id"),
-        F.last(F.when(F.col("kind") == 0, F.col("value")), ignorenulls=True)
-        .over(w)
-        .alias("asof_value"),
+        F.last(ev_struct, ignorenulls=True).over(w).alias("asof"),
     )
     return carried.filter(F.col("kind") == 1).select(
-        "user_id", "checkpoint", "asof_event_id", "asof_value"
+        "user_id",
+        "checkpoint",
+        F.col("asof.event_id").alias("asof_event_id"),
+        F.col("asof.value").alias("asof_value"),
     )
 
 

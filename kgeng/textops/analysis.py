@@ -234,11 +234,12 @@ DECONTAM_EVAL_DOCS = 20
 
 
 def _word_shingles(text: Column, w: int) -> Column:
-    """Distinct word w-grams of ``text`` (\\s+ tokenization, same rule
-    as the token-count family); empty when the doc has < w tokens.
-    DuckDB twin: list_distinct(list_transform(generate_series(...),
+    """Distinct word w-grams of ``text`` (``tokens_col`` — the single
+    tokenization rule the token-count family shares); empty when the
+    doc has < w tokens. DuckDB twin:
+    list_distinct(list_transform(generate_series(...),
     i -> array_to_string(tk[i:i+w-1], ' ')))."""
-    toks = F.split(text, r"\s+")
+    toks = tokens_col(text)
     n = F.size(toks)
     idx = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)).otherwise(
         F.array().cast("array<int>")

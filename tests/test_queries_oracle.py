@@ -73,6 +73,48 @@ def test_documents_fixture_is_ascii():
     assert n == 0, f"{n} non-ASCII documents; byte/char oracle arithmetic diverges"
 
 
+def test_events_asof_null_value_corpus(spark, tmp_path):
+    """Regression (review r4): an as-of event with a NULL value must
+    yield (its event_id, NULL) — not its id paired with an OLDER
+    event's value, which two independent ignorenulls last() windows
+    produced. Full engine-vs-engine comparison on a crafted corpus
+    whose as-of hits land on NULL-value events."""
+    import datetime
+
+    import duckdb
+
+    from kgeng.queries.corpus import q_events_asof
+
+    rows = []
+    for uid in (1, 2):
+        rows += [
+            (uid * 10 + 1, datetime.datetime(2024, 1, 1, 0, 0, 0), uid, "a", 5.0, "{}"),
+            (uid * 10 + 2, datetime.datetime(2024, 1, 2, 0, 0, 0), uid, "a", None, "{}"),
+            (uid * 10 + 3, datetime.datetime(2024, 1, 9, 0, 0, 0), uid, "a", 7.0, "{}"),
+        ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY (the SF fixtures are single
+    # files) — glob the part files for DuckDB
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    # raw-tuple comparison, NOT the pandas-path harness: pandas maps an
+    # all-NULL DOUBLE column to NaN, which is a comparator artifact —
+    # the question here is engine semantics (verified identical)
+    got = sorted(map(tuple, q_events_asof(spark, str(tmp_path)).collect()))
+    want = sorted(con.sql(ORACLES["q_events_asof"]).fetchall())
+    con.close()
+    assert got == want, (got, want)
+    # every as-of hit is the NULL-value event: id carried WITH its null
+    assert all(eid in (12, 22) and val is None for (_, _, eid, val) in got), got
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
