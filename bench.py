@@ -94,6 +94,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantize_sq8",
     "mm_features",
 ]
 

@@ -576,7 +576,12 @@ from kgeng.textops.multimodal import (  # noqa: E402
     mm_metadata,
     mm_resize,
 )
-from kgeng.textops.similarity import ann_cosine_topk, ann_ivf_topk, ann_lsh_topk  # noqa: E402
+from kgeng.textops.similarity import (  # noqa: E402
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_quantize_sq8,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data ops (documents / embeddings / events)
@@ -599,6 +604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_quantize_sq8": ann_quantize_sq8,
     "mm_metadata": mm_metadata,
     "mm_features": mm_features,
     "mm_resize": mm_resize,

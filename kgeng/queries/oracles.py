@@ -560,6 +560,31 @@ ORACLES: dict[str, str] = {
       FROM scored
     ) WHERE rank <= 5
     """,
+    "ann_quantize_sq8": """
+    -- scalar int8-range quantization; expression trees mirror the
+    -- Spark side op-for-op so doubles are bit-identical, MSE is
+    -- floor-truncated
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v, list_min(v) AS vmin,
+             list_max(v) - list_min(v) AS rng
+      FROM e
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(v, x ->
+               CAST(CAST(CASE WHEN rng > 0
+                    THEN floor((x - vmin) / rng * 255) ELSE 0 END AS INT)
+                    AS VARCHAR)), ',') AS codes,
+           floor(list_sum(list_transform(v, x ->
+               (x - (vmin + (CAST(CASE WHEN rng > 0
+                    THEN floor((x - vmin) / rng * 255) ELSE 0 END AS INT)
+                    + 0.5) / 256 * rng))
+               * (x - (vmin + (CAST(CASE WHEN rng > 0
+                    THEN floor((x - vmin) / rng * 255) ELSE 0 END AS INT)
+                    + 0.5) / 256 * rng))
+           )) / len(v) * 10000) / 10000 AS mse_t4
+    FROM b
+    """,
     "mm_metadata": """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

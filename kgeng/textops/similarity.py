@@ -237,3 +237,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ann_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-range) quantization of the embedding column — the
+    4×-memory-reduction step a billion-vector ANN index applies before
+    anything else: per-vector min/range affine codes in 0..255 plus the
+    reconstruction MSE (midpoint dequantization), all JVM-side
+    expressions over one pass of the table. Expression trees mirror
+    the DuckDB oracle operation-for-operation so the doubles are
+    bit-identical (CLAUDE.md float rule); MSE is floor-truncated."""
+    e = _emb(spark, sf_dir)
+    b = e.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("vmin"),
+        (F.array_max("v") - F.array_min("v")).alias("rng"),
+    )
+
+    def code(x):
+        return (
+            F.when(F.col("rng") > 0, F.floor((x - F.col("vmin")) / F.col("rng") * 255))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+
+    def recon_err(x):
+        xhat = F.col("vmin") + (code(x).cast("double") + 0.5) / 256 * F.col("rng")
+        return (x - xhat) * (x - xhat)
+
+    return b.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(F.col("v"), lambda x: code(x).cast("string"))).alias(
+            "codes"
+        ),
+        (
+            F.floor(
+                F.aggregate(
+                    F.transform(F.col("v"), recon_err), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.size("v")
+                * 10000
+            )
+            / 10000
+        ).alias("mse_t4"),
+    )

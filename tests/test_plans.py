@@ -112,6 +112,24 @@ def test_ivf_assignment_is_aggregated_not_windowed(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Repo-wide scale gate: no registered query's physical plan may
+    contain a CartesianProduct. Intentional tiny cross joins (1-row
+    aggregates in kg_counts, the broadcast query×corpus products in
+    the ANN baselines) compile to BroadcastNestedLoopJoin with a
+    broadcast side that is dimension-bounded by construction — a bare
+    CartesianProduct means both sides stream, which is quadratic at
+    any scale."""
+    from kgeng.queries.corpus import QUERIES
+
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_decontam_broadcasts_eval_side_only(spark):
     """Decontamination joins a 100-TB corpus against a benchmark-sized
     eval set: the eval shingle set must be the broadcast build side
