@@ -126,6 +126,7 @@ EXPECT_S = {
     "kg_degree0_audit": 3.36, "kg_build_audit": 4.8, "kg_counts": 1.27,
     "q_pricing_summary": 0.26, "q_revenue_by_nation": 0.96,
     "q_top_parts_per_brand": 0.63, "q_events_sessions": 0.43,
+    "q_events_asof": 0.65, "doc_filter_chain": 2.2, "ann_quantize_sq8": 1.65,
     "doc_quality": 0.26, "doc_lang_id": 0.39, "doc_pii_scrub": 0.27,
     "doc_domain_quota": 0.39, "doc_decontam": 0.87, "doc_repetition": 0.88,
     "dedup_exact": 0.31,
