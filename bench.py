@@ -84,6 +84,9 @@ HEADLINE = [
     "doc_filter_chain",
     "doc_repetition",
     "dedup_exact",
+    "doc_shuffle_shard",
+    "doc_chunk",
+    "doc_mix_weights",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on

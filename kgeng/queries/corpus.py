@@ -552,14 +552,17 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
+    doc_chunk,
     doc_decontam,
     doc_domain_quota,
     doc_filter_chain,
     doc_fingerprint,
     doc_lang_id,
+    doc_mix_weights,
     doc_pii_scrub,
     doc_quality,
     doc_repetition,
+    doc_shuffle_shard,
     doc_token_stats,
 )
 from kgeng.textops.dedup import (  # noqa: E402
@@ -595,6 +598,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontam": doc_decontam,
     "doc_filter_chain": doc_filter_chain,
     "doc_repetition": doc_repetition,
+    "doc_shuffle_shard": doc_shuffle_shard,
+    "doc_chunk": doc_chunk,
+    "doc_mix_weights": doc_mix_weights,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_assign": dedup_cluster_assign,

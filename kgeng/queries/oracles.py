@@ -389,6 +389,51 @@ ORACLES: dict[str, str] = {
     WHERE c.doc_id >= 20
     GROUP BY c.doc_id
     """,
+    "doc_shuffle_shard": """
+    -- keyed-md5 deterministic shuffle: shard = first hex nibble,
+    -- pos = rank by (key, doc_id) within the shard; seed mirrors
+    -- analysis.SHUFFLE_SEED
+    SELECT doc_id, shard, CAST(pos AS INT) AS pos FROM (
+      SELECT doc_id, substr(k, 1, 1) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1)
+                                ORDER BY k, doc_id) AS pos
+      FROM (SELECT doc_id,
+                   md5('kgeng-r4|' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents)
+    )
+    """,
+    "doc_chunk": """
+    -- 64-token windows every 48 tokens; tk[s:s+63] is the inclusive
+    -- 64-element slice (= Spark slice(toks, s, 64)); token family is
+    -- the shared \\s+ rule
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk), 48)) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_id,
+           CAST(least(64, len(tk) - s + 1) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(tk[s:s+63], ' ')) AS chunk_md5
+    FROM s
+    """,
+    "doc_mix_weights": """
+    -- integer-exact mixture weights: basis points by integer division
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                 AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 10000) // (SELECT SUM(n_tokens) FROM per)
+                AS BIGINT) AS weight_bp
+    FROM per
+    """,
     "mm_resize": """
     SELECT doc_id, 64 AS n_bytes_out,
            CAST(list_sum(list_transform(generate_series(0, 63),

@@ -343,3 +343,99 @@ def doc_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", reason.alias("reason"), (reason == "kept").alias("keep")
     )
+
+
+# ── deterministic corpus shuffle + sharding ──────────────────────────
+# One hex nibble of the keyed md5 = 16 shards at test scale; a
+# deployment widens to k nibbles (16^k shards) so each shard matches
+# the target output-file size. The shard key is hash-UNIFORM by
+# construction, so unlike the hot-key windows (domain quota, brand
+# top-k) the per-shard window needs no salt: every task sorts
+# ~|corpus|/16^k rows — exactly the sortWithinPartitions the training
+# sink performs per output file anyway.
+SHUFFLE_SEED = "kgeng-r4"
+SHUFFLE_SHARD_NIBBLES = 1
+
+
+def doc_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random global shuffle + sharding — the
+    "shuffle the corpus before training" step. Each doc gets a keyed
+    md5 shuffle key; the shard is its first hex nibble and the
+    in-shard position is its rank by (key, doc_id). Reproducible on
+    any engine at any parallelism (no ``rand()``), re-keyable per
+    epoch by changing SHUFFLE_SEED."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            F.substring(key, 1, SHUFFLE_SHARD_NIBBLES).alias("shard"),
+        )
+        .select(
+            "doc_id", "shard", F.row_number().over(w).alias("pos")
+        )
+    )
+
+
+# ── fixed-token-window chunking ──────────────────────────────────────
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens (trailing
+    chunk may be short) — the packing precursor that turns documents
+    into model-context-sized training rows. Emits the chunk md5
+    instead of the text so the graded comparison stays light.
+
+    Scale shape: the whole op is one ``transform`` over the token
+    array followed by ``explode`` — per-row codegen, no shuffle, no
+    UDF; output row count is ~|tokens|/stride regardless of document
+    skew because work is proportional to each row's own length."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), n - s + 1).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(toks, s, CHUNK_TOKENS))).alias(
+                "chunk_md5"
+            ),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_md5"
+    )
+
+
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture weights for training-data composition: doc
+    and token counts per source plus the sampling weight in basis
+    points. The weight is INTEGER division ((tokens·10⁴) div total) —
+    exact on both engines, no float normalization boundary.
+
+    Scale shape: map-side-combined groupBy on the domain key (output
+    is domain-count-sized), then a 1-row broadcast of the total —
+    the same broadcast-scalar pattern as the IVF assignment join."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * 10000) div tot").alias("weight_bp"),
+    )
