@@ -136,6 +136,8 @@ EXPECT_S = {
     "dedup_embedding_cosine": 1.66, "dedup_minhash_lsh": 6.4,
     "dedup_simhash": 4.6, "ann_cosine_topk": 0.6, "ann_lsh_topk": 0.9,
     "ann_ivf_topk": 1.1, "mm_features": 0.34,
+    # round-4 additions (min-of-3 at sf0.1, local[4], quiet window)
+    "doc_shuffle_shard": 0.71, "doc_chunk": 0.72, "doc_mix_weights": 0.82,
 }
 
 
