@@ -223,3 +223,29 @@ def test_column_pruning(spark):
     assert "doc_id" in plan and "text" in plan
     scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_schema and "lang" not in scan_schema[0] and "source" not in scan_schema[0], scan_schema
+
+
+def test_chunking_has_no_shuffle_beyond_ingest_spread(spark):
+    """doc_chunk is per-row codegen (transform + explode): the ONLY
+    exchange allowed is the round-robin ingest spread from _docs —
+    never a hash partitioning, which would mean the chunk computation
+    itself shuffles (it must not: work is proportional to each row's
+    own token count, so it scales with no cross-row movement)."""
+    from kgeng.textops.analysis import doc_chunk
+
+    plan = doc_chunk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("RoundRobinPartitioning" in l for l in exchanges), exchanges
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_mix_weights_broadcasts_the_scalar_total(spark):
+    """doc_mix_weights joins the per-domain aggregate against the
+    1-row corpus total: the total must be the broadcast side (the
+    same broadcast-scalar shape as the IVF assignment), never a
+    streamed/cartesian pairing of two shuffled sides."""
+    from kgeng.textops.analysis import doc_mix_weights
+
+    plan = doc_mix_weights(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
