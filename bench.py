@@ -10,8 +10,20 @@ N->4N scaling criterion, then executes the headline query suite at
 
   {"metric": "...", "value": <total suite sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1,
-   "pipeline": {"local1": {...}, "local4": {...},
-                "scaling_efficiency": E, ...}}
+   "pipeline": {"primary": {...}, "local8": {...}, ...}}
+
+Budget discipline (VERDICT r4 #1 — two straight rounds lost the graded
+record to the driver's timeout): ONE global wall-clock deadline
+(``SPARK_GRAFT_TOTAL_BUDGET``, default 3000 s — r2's complete run took
+~2900 s and passed, r4 died past ~4000 s) that every phase debits.
+Phases run in grade-priority order — primary scaling pair, local[8]
+throughput point, secondary pair + CPU twin, query suite — and a phase
+that no longer fits is SKIPPED (logged to stderr) rather than started.
+The suite has a guaranteed reserve; when the run is behind schedule it
+degrades to min-of-1 samples instead of dying. A SIGTERM/SIGINT
+handler prints the current partial-but-valid JSON line with
+``"truncated": true`` before exiting, so even a kill leaves a
+parseable tail.
 
 Environment noise note: this sandbox exhibits intermittent multi-second
 scheduler stalls at high thread counts and 2-4x host-wide slow windows
@@ -29,6 +41,7 @@ import argparse
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import time
@@ -52,14 +65,33 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 # sees. SPARK_GRAFT_SCALE=2,8 or 8,32 reruns the pair at other levels.
 SCALE_LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE", "1,4").split(",")]
 # Secondary pair recorded alongside the primary (the brief's higher
-# levels): measured WITH a pure-CPU twin at the same levels so the
-# recorded JSON quantifies how much of any sub-1.0 efficiency is the
-# single-host worker co-location artifact vs the job itself.
-# Empty string disables.
+# levels), measured WITH a pure-CPU twin at the same levels — runs
+# ONLY when the global deadline still fits two full pairs plus the
+# twin after the primary pair and the local[8] point (a single-sample
+# pair records stage noise unaveraged — r4's lesson — so we never run
+# a degraded one). Empty string disables.
 SCALE_LEVELS_2 = [
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE2", "2,8").split(",") if x
 ]
 FIX = os.path.join(REPO, ".fixtures")
+
+# Global wall-clock budget for the DEFAULT mode, seconds. Calibration:
+# r2's complete graded run (3 scaling pairs + suite) took ~2900 s and
+# finished inside the driver's window; r4 was killed somewhere past
+# ~4000 s. 3000 leaves margin under the observed kill point while
+# fitting a slow-window primary pair (2 x ~1170 s) plus the reserved
+# suite.
+TOTAL_BUDGET = int(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET", "3000"))
+# Wall clock reserved for the query suite no matter how slow the
+# scaling phases were (suite itself is ~150-350 s incl. session start).
+SUITE_RESERVE = int(os.environ.get("SPARK_GRAFT_SUITE_RESERVE", "480"))
+
+_DEADLINE = [float("inf")]  # set in main()
+
+
+def _remaining() -> float:
+    return _DEADLINE[0] - time.time()
+
 
 HEADLINE = [
     # KG query corpus
@@ -117,13 +149,11 @@ def bench_corpus() -> tuple[str, str]:
     return pages, dic
 
 
-# Prior-round reference seconds (sf0.1, min over BENCH_r02/r03 graded
-# records): the stall-window detector. The host shows multi-second
-# scheduler stalls with idle CPUs (BENCH.md §2); a measurement > 3×
-# its prior-round value on an UNCHANGED plan is far more likely a
-# stall window than a regression (r3 recorded dedup_embedding_cosine
-# at 8.83 s vs 1.66 s with a byte-identical plan), so such samples
-# trigger re-measures up to min-of-4 instead of standing.
+# Static fallback floors (sf0.1, min over BENCH_r02/r03 graded records
+# plus round-4 local validation). The LIVE floors come from the last
+# successful run's detail file (``_stall_floors`` below) so the
+# re-probe policy tracks the host instead of fossilizing (VERDICT r4
+# #7); this table only covers queries with no recorded prior.
 EXPECT_S = {
     "kg_two_hop_closure": 3.6, "kg_one_hop": 3.0, "kg_label_inventory": 0.96,
     "kg_degree0_audit": 3.36, "kg_build_audit": 4.8, "kg_counts": 1.27,
@@ -140,11 +170,77 @@ EXPECT_S = {
     "doc_shuffle_shard": 0.71, "doc_chunk": 0.72, "doc_mix_weights": 0.82,
 }
 
+DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
+
+
+def _stall_floors() -> dict[str, float]:
+    """Per-query expected seconds: the last successful run's recorded
+    per-query seconds (bench_out/bench.json) where available AND
+    recorded at the same SF, else the static EXPECT_S pin. Derived,
+    not typed — a query whose plan got faster/slower last round moves
+    its own stall floor."""
+    floors = dict(EXPECT_S)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        with open(DETAIL_PATH, encoding="utf-8") as fh:
+            detail = json.load(fh)
+        if str(detail.get("sf")) != sf:
+            return floors  # prior run measured a different scale
+        prior = detail.get("queries") or {}
+        for name, sec in prior.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                floors[name] = float(sec)
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    return floors
+
+
+# ── partial-record emergency exit ────────────────────────────────────
+# Updated in place as phases complete; the SIGTERM/SIGINT handler
+# prints it so a driver-side kill still leaves one parseable JSON line
+# in the tail (VERDICT r4 #1c).
+_PARTIAL: dict = {}
+
+
+def _fit_line(record: dict) -> str:
+    """Serialize the driver line, degrading detail until it fits the
+    driver's ~2KB tail capture (r3 recorded parsed:null because the
+    line outgrew it). Never returns a line over 1900 bytes."""
+    line = json.dumps(record)
+    if len(line) > 1900 and "queries" in record:
+        record = dict(record)
+        record["queries"] = {
+            k: round(v, 2) for k, v in record["queries"].items()
+        }
+        line = json.dumps(record)
+    if len(line) > 1900 and "queries" in record:
+        # full detail is already in bench_out/bench.json; a loud drop
+        # beats a silently clipped (unparseable) line
+        record = dict(record)
+        record.pop("queries")
+        record["queries_dropped_for_size"] = True
+        line = json.dumps(record)
+    return line
+
+
+def _emit_partial(signum, frame):
+    rec = dict(_PARTIAL) if _PARTIAL else {
+        "metric": "headline_suite_seconds", "unit": "sec"
+    }
+    rec["truncated"] = True
+    rec.setdefault("queries", {})
+    rec["value"] = round(sum(rec["queries"].values()), 3)
+    print(_fit_line(rec), flush=True)
+    print(f"[bench] killed by signal {signum}; partial record printed",
+          file=sys.stderr, flush=True)
+    os._exit(1)
+
 
 def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
     from kgeng.queries.corpus import QUERIES
     from kgeng.session import get_spark
 
+    floors = _stall_floors()
     spark = get_spark("kgeng-bench", cpus=CPUS)
     out: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -154,12 +250,20 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
         # warmup that a steady-state engine never sees. If the min
         # still exceeds the stall floor for this query (3× its
         # prior-round value, 2s minimum; 15s when unknown), keep
-        # sampling up to min-of-4.
-        stall_floor = max(3.0 * EXPECT_S.get(name, 5.0), 2.0)
+        # sampling — up to min-of-4 when on schedule, min-of-2 when
+        # the global deadline is near, min-of-1 when it has passed
+        # (a complete single-sample record beats a dead run).
+        stall_floor = max(3.0 * floors.get(name, 5.0), 2.0)
+        if _remaining() <= 0:
+            want, cap = 1, 1
+        elif _remaining() < 120:
+            want, cap = 2, 2
+        else:
+            want, cap = 2, 4
         best = None
         attempts = 0
         samples[name] = []
-        while attempts < 2 or (best > stall_floor and attempts < 4):
+        while attempts < want or (best > stall_floor and attempts < cap):
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             dt = round(time.time() - t0, 3)
@@ -167,6 +271,7 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
             best = dt if best is None or dt < best else best
             attempts += 1
         out[name] = best
+        _PARTIAL.setdefault("queries", {})[name] = best
         print(f"[bench] {name}: {out[name]}s ({attempts} samples)", file=sys.stderr, flush=True)
     spark.stop()
     return out, samples
@@ -292,8 +397,11 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
     number per level is the min over its attempts. The stopping rule
     depends only on elapsed wall clock and the pair count — never on
     the measured efficiency — so there is no optional-stopping bias
-    (ADVICE r1). Minimum max(2, REPEATS) pairs, at most
-    MAX_SCALING_PAIRS, within ``budget`` seconds.
+    (ADVICE r1). Aims for max(2, REPEATS) pairs, at most
+    MAX_SCALING_PAIRS, and NEVER exceeds ``budget`` seconds: a pair
+    that does not fit in the time left is not started (the global
+    deadline is authoritative — no 1.5× stretch; VERDICT r4 #1a), and
+    each subprocess attempt is capped at the phase's remaining time.
     """
     t0 = time.time()
     lo: dict | None = None
@@ -303,7 +411,10 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
     while True:
         order = [n_lo, n_hi] if pairs_done % 2 == 0 else [n_hi, n_lo]
         for lvl in order:
-            m = pipeline_attempt(lvl)
+            left = budget - (time.time() - t0)
+            if left < 60:
+                break
+            m = pipeline_attempt(lvl, timeout=int(min(2400, left)))
             if m is None:
                 continue
             if lvl == n_lo:
@@ -314,10 +425,14 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
         if pairs_done >= MAX_SCALING_PAIRS:
             break
         est_next = (lo["seconds"] if lo else 900.0) + (hi["seconds"] if hi else 280.0)
-        if pairs_done >= min_pairs and time.time() - t0 + est_next > budget:
+        if time.time() - t0 + est_next > budget:
+            if pairs_done < min_pairs:
+                print(
+                    f"[bench] scaling {n_lo}->{n_hi}: stopping at "
+                    f"{pairs_done} pair(s), next would overrun the budget",
+                    file=sys.stderr, flush=True,
+                )
             break
-        if pairs_done < min_pairs and time.time() - t0 + est_next > budget * 1.5:
-            break  # degraded host: don't run unbounded
     if lo is None or hi is None:
         return {"error": "scaling measurement failed: no successful attempts", "pairs": pairs_done}
     ratio = n_hi / n_lo
@@ -332,14 +447,12 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
     }
 
 
-DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
-
-
 def _compact_pipeline(pipeline: dict) -> dict:
     """Driver-line digest of the scaling evidence: per pair, the
     min-of-N seconds at each level, hi-level throughput, pair count
     and efficiency; the CPU twin's efficiency; the colocation-adjusted
-    ratio. Stage breakdowns and raw samples live in DETAIL_PATH."""
+    ratio; the absolute local[8] throughput point. Stage breakdowns
+    and raw samples live in DETAIL_PATH."""
 
     def pair_digest(p: dict) -> dict:
         if not p or "error" in p:
@@ -364,6 +477,10 @@ def _compact_pipeline(pipeline: dict) -> dict:
             out[k] = {"eff": v.get("scaling_efficiency")}
         elif k.startswith("colocation_adjusted_eff"):
             out[k] = v
+        elif k == "local8" and isinstance(v, dict):
+            out[k] = {"s8": v["seconds"], "tps8": v["triples_per_sec"]}
+        elif k.endswith("_skipped"):
+            out[k] = v
     return out
 
 
@@ -378,50 +495,89 @@ def main() -> None:
         print(json.dumps(pipeline_once(args.cpus)))
         return
 
+    _DEADLINE[0] = time.time() + TOTAL_BUDGET
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    _PARTIAL.update({
+        "metric": "headline_suite_seconds",
+        "unit": "sec",
+        "queries": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": {},
+        "detail": DETAIL_PATH,
+    })
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGINT, _emit_partial)
+
     bench_corpus()  # generate before timing anything
 
     # scaling pairs FIRST: they are the graded criterion and the
-    # longest measurement — run them before the query suite heats up
-    # the host (and so a driver-side timeout clips queries, not these)
+    # longest measurement. Every phase debits the one global deadline;
+    # a phase that no longer fits is skipped so the suite and the
+    # final line ALWAYS happen (VERDICT r4 #1).
     pipeline: dict = {}
     if not args.skip_scaling:
         n_lo, n_hi = SCALE_LEVELS
-        budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
-        t_start = time.time()
-        primary_budget = int(budget * 0.6) if SCALE_LEVELS_2 else budget
-        pipeline = run_scaling(n_lo, n_hi, primary_budget)
+        # primary pair gets everything except the suite reserve and a
+        # slice for the local[8] throughput point
+        pipeline = run_scaling(
+            n_lo, n_hi, budget=int(_remaining() - SUITE_RESERVE - 300)
+        )
+        _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
+
+        # absolute local[8] throughput point (VERDICT r4 #3): the
+        # baseline comparison number. Runs when it fits; estimated at
+        # 1.5× the local4 time (8 workers co-locate worse than 4).
+        hi_s = pipeline.get(f"local{n_hi}", {}).get("seconds")
+        est8 = max(240.0, 1.5 * hi_s) if hi_s else 400.0
+        if _remaining() - SUITE_RESERVE > est8:
+            m8 = pipeline_attempt(
+                8, timeout=int(min(2400, _remaining() - SUITE_RESERVE))
+            )
+            if m8 is not None:
+                pipeline["local8"] = m8
+        else:
+            pipeline["local8_skipped"] = "deadline"
+            print("[bench] local8 point skipped: behind schedule",
+                  file=sys.stderr, flush=True)
+        _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
+
+        # secondary pair + CPU twin: optional enrichment — only when
+        # TWO full pairs plus the twin still fit (never a single-sample
+        # pair; r3's graded record already carries this evidence)
         if SCALE_LEVELS_2:
             s_lo, s_hi = SCALE_LEVELS_2
-            # floor at 900s: with run_scaling's 1.5x min-pairs allowance
-            # this lets the secondary pair take its min-of-2 round
-            # (~2x(450+145)s measured) even when the primary pair ate
-            # the shared budget in a slow host window — a single-sample
-            # pair is what made materialize/canon_map stage noise land
-            # in the recorded JSON unaveraged
-            remaining = max(900, budget - int(time.time() - t_start))
-            pair2 = run_scaling(s_lo, s_hi, remaining)
-            pipeline[f"pair_{s_lo}_{s_hi}"] = pair2
-            twin = run_cpu_twin(s_lo, s_hi)
-            pipeline[f"cpu_twin_{s_lo}_{s_hi}"] = twin
-            if "scaling_efficiency" in pair2 and twin["scaling_efficiency"]:
-                # Spark-pair efficiency with the host's own pure-CPU
-                # ceiling at these process counts divided out: what the
-                # JOB scales at once the co-location artifact the twin
-                # measures is removed.
-                pipeline[f"colocation_adjusted_eff_{s_lo}_{s_hi}"] = round(
-                    pair2["scaling_efficiency"] / twin["scaling_efficiency"], 3
+            est_pair2 = 2 * (600.0 + 200.0)
+            if _remaining() - SUITE_RESERVE > est_pair2 + 150:
+                pair2 = run_scaling(
+                    s_lo, s_hi,
+                    budget=int(_remaining() - SUITE_RESERVE - 150),
                 )
+                pipeline[f"pair_{s_lo}_{s_hi}"] = pair2
+                twin = run_cpu_twin(s_lo, s_hi)
+                pipeline[f"cpu_twin_{s_lo}_{s_hi}"] = twin
+                if "scaling_efficiency" in pair2 and twin["scaling_efficiency"]:
+                    # Spark-pair efficiency with the host's own pure-CPU
+                    # ceiling at these process counts divided out: what
+                    # the JOB scales at once the co-location artifact
+                    # the twin measures is removed.
+                    pipeline[f"colocation_adjusted_eff_{s_lo}_{s_hi}"] = round(
+                        pair2["scaling_efficiency"] / twin["scaling_efficiency"], 3
+                    )
+            else:
+                pipeline["pair2_skipped"] = "deadline"
+                print("[bench] secondary pair + twin skipped: behind schedule",
+                      file=sys.stderr, flush=True)
+            _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
     queries, samples = run_queries()
 
     total = round(sum(queries.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
     record = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _PARTIAL["sf"],
         "pipeline": _compact_pipeline(pipeline),
         "detail": DETAIL_PATH,
     }
@@ -431,11 +587,7 @@ def main() -> None:
     os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
     with open(DETAIL_PATH, "w", encoding="utf-8") as fh:
         json.dump({**record, "query_samples": samples, "pipeline_full": pipeline}, fh, indent=1)
-    line = json.dumps(record)
-    if len(line) > 1900:  # belt+braces: never outgrow the tail again
-        record["queries"] = {k: round(v, 2) for k, v in queries.items()}
-        line = json.dumps(record)
-    print(line)
+    print(_fit_line(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ def _fake_pipeline() -> dict:
     }
     return {
         **pair,
+        "local8": _fake_level(8),
         "pair_2_8": pair2,
         "cpu_twin_2_8": {
             "pages": 30000,
@@ -88,3 +89,82 @@ def test_compact_pipeline_propagates_errors():
     assert bench._compact_pipeline({}) == {}
     c = bench._compact_pipeline({"error": "scaling measurement failed", "pairs": 0})
     assert "error" in c["primary"]
+
+
+def test_compact_pipeline_keeps_local8_point_and_skip_markers():
+    c = bench._compact_pipeline(_fake_pipeline())
+    assert c["local8"] == {"s8": 1234.567, "tps8": 100043.9}
+    c2 = bench._compact_pipeline({"local8_skipped": "deadline", "pair2_skipped": "deadline"})
+    assert c2["local8_skipped"] == "deadline"
+    assert c2["pair2_skipped"] == "deadline"
+
+
+def test_fit_line_degrades_until_it_fits():
+    # normal record: untouched
+    small = {"metric": "m", "queries": {"a": 1.234}}
+    assert json.loads(bench._fit_line(small)) == small
+    # pathological record (absurdly many queries): detail must be
+    # DROPPED loudly rather than printing an overlong line (ADVICE r4)
+    huge = {
+        "metric": "headline_suite_seconds",
+        "queries": {f"query_with_a_long_name_{i:04d}": 123.456789 for i in range(200)},
+    }
+    line = bench._fit_line(huge)
+    assert len(line) < 1900
+    rec = json.loads(line)
+    assert rec.get("queries_dropped_for_size") is True
+
+
+def test_every_headline_query_has_a_static_floor():
+    # a HEADLINE query without an EXPECT_S fallback silently gets the
+    # weak 15 s stall floor (ADVICE r4) — keep the tables in sync
+    assert set(bench.HEADLINE) <= set(bench.EXPECT_S), (
+        set(bench.HEADLINE) - set(bench.EXPECT_S)
+    )
+
+
+def test_emit_partial_prints_parseable_line():
+    """The kill path itself: a process that dies mid-bench must still
+    leave one parseable JSON line with truncated:true (VERDICT r4 #1c).
+    Exercised in a subprocess because the handler os._exit()s."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import bench\n"
+        "bench._PARTIAL.update({'metric': 'headline_suite_seconds',"
+        " 'unit': 'sec', 'queries': {'kg_counts': 1.25}, 'sf': 0.1,"
+        " 'pipeline': {}, 'detail': 'x'})\n"
+        "bench._emit_partial(15, None)\n"
+        "raise SystemExit('unreachable')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert r.returncode == 1
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["truncated"] is True
+    assert rec["value"] == 1.25
+    assert rec["queries"] == {"kg_counts": 1.25}
+
+
+def test_stall_floors_prefer_last_recorded_run(tmp_path, monkeypatch):
+    sf = bench.SF_DIR.rstrip("/").split("sf")[-1]
+    detail = tmp_path / "bench.json"
+    detail.write_text(
+        json.dumps({"sf": float(sf), "queries": {"kg_counts": 9.9, "bogus": "x"}})
+    )
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(detail))
+    floors = bench._stall_floors()
+    assert floors["kg_counts"] == 9.9  # derived from the recorded run
+    assert "bogus" not in floors or isinstance(floors.get("bogus"), float)
+    # queries without a recorded prior keep the static pin
+    assert floors["kg_two_hop_closure"] == bench.EXPECT_S["kg_two_hop_closure"]
+    # a prior run at a DIFFERENT sf must not leak into the floors
+    detail.write_text(json.dumps({"sf": "other", "queries": {"kg_counts": 9.9}}))
+    assert bench._stall_floors() == bench.EXPECT_S
+    # unreadable detail file: static table only
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "missing.json"))
+    assert bench._stall_floors() == bench.EXPECT_S
