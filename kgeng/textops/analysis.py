@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgeng.io.scanmeta import needs_ingest_spread, parquet_rows
+
 # tiny deterministic stopword profiles for the n-gram/stopword language
 # heuristic; priority order breaks ties (en > de > es > fr > zh)
 LANG_PROFILES: list[tuple[str, list[str]]] = [
@@ -21,9 +23,11 @@ LANG_PROFILES: list[tuple[str, list[str]]] = [
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread a single-split compressed source before token/bigram
-    # explodes (same ingest medicine as kgeng.textops.dedup)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # explodes (same ingest medicine as kgeng.textops.dedup); split
+    # count probed from file metadata, not df.rdd (VERDICT r4 nit)
+    path = f"{sf_dir}/documents.parquet"
+    d = spark.read.parquet(path)
+    if needs_ingest_spread(spark, path):
         d = d.repartition(spark.sparkContext.defaultParallelism)
     return d
 

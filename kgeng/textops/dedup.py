@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgeng.io.scanmeta import needs_ingest_spread
+
 JACCARD_THRESHOLD = 0.6
 N_MINHASH = 16
 BAND_SIZE = 4
@@ -58,8 +60,9 @@ def dup_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows ~100×, so we repartition at ingest — the same medicine the
     main pipeline applies — to spread the shingling/hashing work across
     every core before the fan-out."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    path = f"{sf_dir}/documents.parquet"
+    d = spark.read.parquet(path).select("doc_id", "text")
+    if needs_ingest_spread(spark, path):
         d = d.repartition(spark.sparkContext.defaultParallelism)
     perturbed = d.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -72,10 +75,11 @@ def dup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copies (id+10000); repartitioned at ingest
     (single compressed split otherwise serializes the per-vector
     bucket/norm arithmetic)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    path = f"{sf_dir}/embeddings.parquet"
+    e = spark.read.parquet(path).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if needs_ingest_spread(spark, path):
         e = e.repartition(spark.sparkContext.defaultParallelism)
     return e.unionByName(
         e.select((F.col("vec_id") + 10000).alias("vec_id"), "v")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kgeng.io.scanmeta import needs_ingest_spread
+
 TOP_K = 5
 N_QUERIES = 10
 LSH_BITS = 12
@@ -43,10 +45,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition at ingest ONLY when the compressed source landed in
     # fewer splits than cores (the per-vector norm/bucket/dot
     # arithmetic is the hot loop); a well-split table is left alone
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    path = f"{sf_dir}/embeddings.parquet"
+    e = spark.read.parquet(path).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if needs_ingest_spread(spark, path):
         e = e.repartition(spark.sparkContext.defaultParallelism)
     return e
 
