@@ -390,16 +390,24 @@ ORACLES: dict[str, str] = {
     GROUP BY c.doc_id
     """,
     "doc_shuffle_shard": """
-    -- keyed-md5 deterministic shuffle: shard = first hex nibble,
+    -- keyed-md5 deterministic shuffle: shard = first w hex nibbles,
     -- pos = rank by (key, doc_id) within the shard; seed mirrors
-    -- analysis.SHUFFLE_SEED
+    -- analysis.SHUFFLE_SEED. w is DERIVED from the corpus count
+    -- exactly as analysis.shard_nibbles_for does it — shards =
+    -- ceil(n / 262144), w = hex-digit count of (shards - 1) — so
+    -- both engines widen the shard key together as the corpus grows
+    WITH nb AS (
+      SELECT length(printf('%x',
+               greatest(1, (COUNT(*) + 262143) // 262144) - 1)) AS w
+      FROM documents
+    )
     SELECT doc_id, shard, CAST(pos AS INT) AS pos FROM (
-      SELECT doc_id, substr(k, 1, 1) AS shard,
-             ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1)
+      SELECT doc_id, substr(k, 1, w) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY substr(k, 1, w)
                                 ORDER BY k, doc_id) AS pos
       FROM (SELECT doc_id,
                    md5('kgeng-r4|' || CAST(doc_id AS VARCHAR)) AS k
-            FROM documents)
+            FROM documents), nb
     )
     """,
     "doc_chunk": """

