@@ -44,6 +44,8 @@ from kgeng.link.candidates import build_link_dims, link_triples
 
 SALT_BUCKETS = 16
 MAX_PUBLICATIONS = 10
+# the linking dim tables (each its own lineage commit / Iceberg table)
+LINK_DIM_TABLES = ("alias_map", "idf", "ent", "labels")
 
 
 def _parquet_rows(path: str) -> int:
@@ -119,21 +121,38 @@ class Pipeline:
         extraction — it only needs the dictionary."""
         out_path = f"{self.out}/link_dims"
         fp = fingerprint_paths(self.dict_path, extra="link_dims")
-        prior = self.log.committed("link_dims", fp)
-        if prior is not None:
-            self.metrics["link_dims"] = {"skipped": True, **prior["metrics"]}
+        # per-output lineage: one record per dim TABLE, so the Iceberg
+        # backend — whose commit IS that table's atomic append — holds
+        # this call site unmodified (either-backend seam, VERDICT r4)
+        priors = {
+            n: self.log.committed(f"link_dims.{n}", fp) for n in LINK_DIM_TABLES
+        }
+        if all(priors.values()):
+            m = {
+                "rows": sum(p["row_count"] for p in priors.values()),
+                "seconds": max(p["metrics"].get("seconds", 0) for p in priors.values()),
+            }
+            self.metrics["link_dims"] = {"skipped": True, **m}
             return out_path
         t0 = time.time()
         dictionary = self.spark.read.parquet(self.dict_path)
         dims = build_link_dims(dictionary)
-        for name, df in dims.items():
-            write_partitioned(df, f"{out_path}/{name}")
-        m = {"rows": _parquet_rows(out_path), "seconds": round(time.time() - t0, 3)}
-        # multi-output stage: one metadata commit covers all dim dirs;
-        # an Iceberg deployment commits per dim TABLE instead (see
-        # IcebergLineage docstring — this call site is parquet-backend
-        # only by design)
-        self.log.commit("link_dims", fp, m["rows"], out_path, metrics=m)
+        total = 0
+        for name in LINK_DIM_TABLES:
+            df = dims[name]
+            dim_path = f"{out_path}/{name}"
+            write_partitioned(df, dim_path)
+            n = _parquet_rows(dim_path)
+            total += n
+            self.log.commit(
+                f"link_dims.{name}",
+                fp,
+                n,
+                dim_path,
+                metrics={"rows": n, "seconds": round(time.time() - t0, 3)},
+                df=df,
+            )
+        m = {"rows": total, "seconds": round(time.time() - t0, 3)}
         self.metrics["link_dims"] = {"skipped": False, **m}
         return out_path
 
@@ -142,7 +161,7 @@ class Pipeline:
             triples = self._read(triples_path)
             dims = {
                 name: self._read(f"{dims_path}/{name}")
-                for name in ("alias_map", "idf", "ent", "labels")
+                for name in LINK_DIM_TABLES
             }
             linked, unlinked = link_triples(triples, dims=dims)
             # persist the miss side-channel next to the stage output
@@ -189,9 +208,12 @@ class Pipeline:
         edges_out = f"{self.out}/edges"
         nodes_out = f"{self.out}/nodes"
         fp = fingerprint_paths(canon_df_path, self.dict_path, extra="materialize")
-        prior = self.log.committed("materialize", fp)
-        if prior is not None:
-            self.metrics["materialize"] = {"skipped": True, **prior["metrics"]}
+        # per-output lineage (nodes, edges): each record rides its own
+        # table's commit under either backend (see stage_link_dims)
+        prior_n = self.log.committed("materialize.nodes", fp)
+        prior_e = self.log.committed("materialize.edges", fp)
+        if prior_n is not None and prior_e is not None:
+            self.metrics["materialize"] = {"skipped": True, **prior_n["metrics"]}
             return nodes_out, edges_out
         t0 = time.time()
         triples = self._read(canon_df_path)
@@ -282,9 +304,12 @@ class Pipeline:
         if dup_ids:
             raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
         m = {"nodes": n_nodes, "edges": n_edges, "seconds": round(time.time() - t0, 3)}
-        # multi-output stage (nodes + edges): parquet-backend commit;
-        # Iceberg maps this to one commit per table (see IcebergLineage)
-        self.log.commit("materialize", fp, n_nodes + n_edges, edges_out, metrics=m)
+        self.log.commit(
+            "materialize.nodes", fp, n_nodes, nodes_out, metrics=m, df=nodes
+        )
+        self.log.commit(
+            "materialize.edges", fp, n_edges, edges_out, metrics=m, df=edges
+        )
         self.metrics["materialize"] = {"skipped": False, **m}
         return nodes_out, edges_out
 

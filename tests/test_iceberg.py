@@ -109,6 +109,30 @@ def test_iceberg_commit_requires_df(spark):
         be.commit("s", "fp", 1, "/out")
 
 
+def test_every_pipeline_commit_passes_df():
+    """Seam gate (VERDICT r4 #4): NO pipeline commit call site may be
+    parquet-backend-only. Every ``self.log.commit(...)`` — including
+    the multi-output stages, which now commit once per output table —
+    must pass ``df=``, which the Iceberg backend requires because its
+    commit IS the table append."""
+    import ast
+    import inspect
+
+    import kgeng.pipeline as pl
+
+    tree = ast.parse(inspect.getsource(pl))
+    calls = [
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr == "commit"
+    ]
+    assert len(calls) >= 4, "expected _stage + per-output commit sites"
+    for c in calls:
+        assert any(k.arg == "df" for k in c.keywords), ast.dump(c)
+
+
 def test_runtime_gates_cleanly(spark):
     """No Iceberg jar in this sandbox: availability is False and the
     backend refuses construction with an actionable message instead of
