@@ -119,6 +119,8 @@ HEADLINE = [
     "doc_shuffle_shard",
     "doc_chunk",
     "doc_mix_weights",
+    "doc_pack",
+    "doc_split",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on
@@ -168,6 +170,9 @@ EXPECT_S = {
     "ann_ivf_topk": 1.1, "mm_features": 0.34,
     # round-4 additions (min-of-3 at sf0.1, local[4], quiet window)
     "doc_shuffle_shard": 0.71, "doc_chunk": 0.72, "doc_mix_weights": 0.82,
+    # round-5 additions (provisional: sibling-shaped plans — shard
+    # window / pure projection; refined by the first recorded run)
+    "doc_pack": 0.8, "doc_split": 0.4,
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")

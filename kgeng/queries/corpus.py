@@ -559,10 +559,12 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_fingerprint,
     doc_lang_id,
     doc_mix_weights,
+    doc_pack,
     doc_pii_scrub,
     doc_quality,
     doc_repetition,
     doc_shuffle_shard,
+    doc_split,
     doc_token_stats,
 )
 from kgeng.textops.dedup import (  # noqa: E402
@@ -601,6 +603,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shuffle_shard": doc_shuffle_shard,
     "doc_chunk": doc_chunk,
     "doc_mix_weights": doc_mix_weights,
+    "doc_pack": doc_pack,
+    "doc_split": doc_split,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_assign": dedup_cluster_assign,

@@ -442,6 +442,54 @@ ORACLES: dict[str, str] = {
                 AS BIGINT) AS weight_bp
     FROM per
     """,
+    "doc_pack": f"""
+    -- GPT-style sequence packing: concat the shuffled token stream
+    -- per shard, cut every 2048 tokens. Shard width derived from
+    -- COUNT(*) exactly as in doc_shuffle_shard; offset cast to BIGINT
+    -- before div/mod (SUM over window widens to HUGEINT otherwise)
+    WITH nb AS (
+      SELECT length(printf('%x',
+               greatest(1, (COUNT(*) + 262143) // 262144) - 1)) AS w
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id,
+             md5('kgeng-r4|' || CAST(doc_id AS VARCHAR)) AS k,
+             substr(md5('kgeng-r4|' || CAST(doc_id AS VARCHAR)), 1, w)
+                 AS shard,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS INT)
+                 AS n_tokens
+      FROM documents, nb
+    ),
+    runs AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                                      ORDER BY k, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                 - n_tokens AS off
+      FROM staged
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(off // 2048 AS INT) AS pack_id,
+           CAST(off % 2048 AS INT) AS pack_offset
+    FROM runs
+    """,
+    "doc_split": f"""
+    -- keyed-md5 basis-point bucket -> train/valid/test; first 7 hex
+    -- digits parsed via the shared polynomial (no engine hex cast)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9800 THEN 'train'
+                WHEN bucket < 9900 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST({_hex_to_int_sql(
+                 "substr(md5('kgeng-split|' || CAST(doc_id AS VARCHAR)), 1, 7)", 7
+             )} % 10000 AS INT) AS bucket
+      FROM documents
+    )
+    """,
     "mm_resize": """
     SELECT doc_id, 64 AS n_bytes_out,
            CAST(list_sum(list_transform(generate_series(0, 63),

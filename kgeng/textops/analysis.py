@@ -446,6 +446,93 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── sequence packing ─────────────────────────────────────────────────
+PACK_TOKENS = 2048  # context-window token budget per pack
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the (deterministically shuffled)
+    token stream and cut it every PACK_TOKENS tokens — the GPT-style
+    packing step that turns variable-length documents into fixed-size
+    training rows. Emits, per document, its shard, token count, the
+    pack (context window) its first token lands in, and its offset
+    within that pack; documents straddling a boundary spill into the
+    next pack exactly as concat-then-cut does.
+
+    Scale shape: packing is sequential by nature, so it runs PER
+    SHARD — the same derived-width shard key as ``doc_shuffle_shard``
+    (``shard_nibbles_for``) bounds every running-sum window at
+    ~SHUFFLE_TARGET_SHARD_ROWS rows regardless of corpus size. One
+    shuffle (into shards), one O(1)-state running-sum window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    nibbles = shard_nibbles_for(parquet_rows(f"{sf_dir}/documents.parquet"))
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = d.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, nibbles).alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return staged.select("doc_id", "shard", "n_tokens", offset).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"CAST(off div {PACK_TOKENS} AS INT)").alias("pack_id"),
+        F.expr(f"CAST(off % {PACK_TOKENS} AS INT)").alias("pack_offset"),
+    )
+
+
+# ── deterministic train/valid/test split ─────────────────────────────
+SPLIT_SEED = "kgeng-split"
+SPLIT_BP = (9800, 9900)  # train < 9800 ≤ valid < 9900 ≤ test, of 10000
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic held-out split assignment: each document hashes
+    to a basis-point bucket (first 7 hex digits of a keyed md5, mod
+    10⁴) and the bucket maps to train/valid/test — stable under
+    corpus growth (a doc never changes split when neighbors arrive),
+    reproducible on any engine, re-keyable via SPLIT_SEED.
+
+    Scale shape: pure per-row codegen projection — no shuffle, no
+    state; the split of 10¹² documents is embarrassingly parallel."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPLIT_SEED + "|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ).cast("int")
+    split = (
+        F.when(F.col("bucket") < SPLIT_BP[0], F.lit("train"))
+        .when(F.col("bucket") < SPLIT_BP[1], F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id", "bucket", split.alias("split")
+    )
+
+
 def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain mixture weights for training-data composition: doc
     and token counts per source plus the sampling weight in basis

@@ -239,6 +239,41 @@ def test_chunking_has_no_shuffle_beyond_ingest_spread(spark):
     assert "hashpartitioning" not in plan.lower(), plan
 
 
+def test_split_has_no_shuffle_beyond_ingest_spread(spark):
+    """doc_split is a pure per-row projection (hash -> bucket ->
+    label): the only exchange allowed is the round-robin ingest
+    spread — assigning splits to 10^12 docs must move no data."""
+    from kgeng.textops.analysis import doc_split
+
+    plan = doc_split(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("RoundRobinPartitioning" in l for l in exchanges), exchanges
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_pack_windows_over_the_derived_shard_width(spark):
+    """doc_pack's running-sum window must partition by the DERIVED
+    shard key (substring width = shard_nibbles_for(corpus rows)) so
+    per-task window volume is bounded at any corpus size, and there
+    must be exactly ONE window (the running sum) over exactly one
+    shuffle into shards."""
+    import re as _re
+
+    from kgeng.io.scanmeta import parquet_rows
+    from kgeng.textops.analysis import doc_pack, shard_nibbles_for
+
+    w = shard_nibbles_for(parquet_rows(f"{SF_DIR}/documents.parquet"))
+    opt = doc_pack(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    assert _re.search(rf"substring\(.*, 1, {w}\) AS shard", opt), opt
+    phys = doc_pack(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Window") == 1, phys
+    hash_ex = [
+        l for l in phys.splitlines()
+        if "Exchange" in l and "hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1 and "shard" in hash_ex[0], hash_ex
+
+
 def test_mix_weights_broadcasts_the_scalar_total(spark):
     """doc_mix_weights joins the per-domain aggregate against the
     1-row corpus total: the total must be the broadcast side (the
