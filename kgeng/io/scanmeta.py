@@ -19,9 +19,29 @@ import glob
 import os
 from functools import lru_cache
 
-# Spark's split budget default; the sessions in this repo never
-# override spark.sql.files.maxPartitionBytes.
-_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+# Spark's split budget default, used when no session is supplied or
+# the conf is unreadable.
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+_SIZE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+
+
+def _max_partition_bytes(spark) -> int:
+    """The session's actual split byte budget
+    (``spark.sql.files.maxPartitionBytes``, returned by Spark as e.g.
+    ``134217728b`` or set by a user as ``128m``)."""
+    try:
+        raw = str(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes",
+                str(_DEFAULT_MAX_PARTITION_BYTES),
+            )
+        ).strip().lower()
+        if raw and raw[-1] in _SIZE_SUFFIX:
+            return int(raw[:-1]) * _SIZE_SUFFIX[raw[-1]]
+        return int(raw)
+    except Exception:
+        return _DEFAULT_MAX_PARTITION_BYTES
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -48,18 +68,21 @@ def _total_bytes_and_files(path: str) -> tuple[int, int]:
     return sum(os.stat(f).st_size for f in files), len(files)
 
 
-def estimated_scan_splits(path: str) -> int:
+def estimated_scan_splits(
+    path: str, max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES
+) -> int:
     """How many input splits a parquet scan of ``path`` will produce,
     estimated from file sizes against the split byte budget (each file
     contributes at least one split; large files split per
     maxPartitionBytes). Compressed corpora routinely land in ONE split
     this way — maxPartitionBytes is a byte budget, not a row budget."""
     total, n_files = _total_bytes_and_files(path)
-    return max(n_files, -(-total // _MAX_PARTITION_BYTES))
+    return max(n_files, -(-total // max_partition_bytes))
 
 
 def needs_ingest_spread(spark, path: str) -> bool:
     """True when the scan would occupy fewer task slots than the
     session has cores — the signal to repartition at ingest before a
     per-row-expensive stage (shingling, vector arithmetic, UDFs)."""
-    return estimated_scan_splits(path) < spark.sparkContext.defaultParallelism
+    splits = estimated_scan_splits(path, _max_partition_bytes(spark))
+    return splits < spark.sparkContext.defaultParallelism
