@@ -78,10 +78,12 @@ FIX = os.path.join(REPO, ".fixtures")
 # Global wall-clock budget for the DEFAULT mode, seconds. Calibration:
 # r2's complete graded run (3 scaling pairs + suite) took ~2900 s and
 # finished inside the driver's window; r4 was killed somewhere past
-# ~4000 s. 3000 leaves margin under the observed kill point while
-# fitting a slow-window primary pair (2 x ~1170 s) plus the reserved
-# suite.
-TOTAL_BUDGET = int(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET", "3000"))
+# ~4000 s. The r5 shakedown at 3000 fit only ONE slow-window primary
+# pair (955+299 s) — a single-sample pair right at the 0.8 criterion
+# boundary — so the default is 3300: two slow-window pairs (~2500 s)
+# plus the reserved suite still finish ~500 s under the observed kill
+# point.
+TOTAL_BUDGET = int(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET", "3300"))
 # Wall clock reserved for the query suite no matter how slow the
 # scaling phases were (suite itself is ~150-350 s incl. session start).
 SUITE_RESERVE = int(os.environ.get("SPARK_GRAFT_SUITE_RESERVE", "480"))
@@ -170,9 +172,8 @@ EXPECT_S = {
     "ann_ivf_topk": 1.1, "mm_features": 0.34,
     # round-4 additions (min-of-3 at sf0.1, local[4], quiet window)
     "doc_shuffle_shard": 0.71, "doc_chunk": 0.72, "doc_mix_weights": 0.82,
-    # round-5 additions (provisional: sibling-shaped plans — shard
-    # window / pure projection; refined by the first recorded run)
-    "doc_pack": 0.8, "doc_split": 0.4,
+    # round-5 additions (first recorded sf0.1 run, local[32])
+    "doc_pack": 1.51, "doc_split": 0.24,
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
@@ -523,9 +524,11 @@ def main() -> None:
     if not args.skip_scaling:
         n_lo, n_hi = SCALE_LEVELS
         # primary pair gets everything except the suite reserve and a
-        # slice for the local[8] throughput point
+        # thin slice for the local[8] throughput point — the pair is
+        # the graded criterion, so a slow window spends its time on a
+        # SECOND pair (min-of-2 per level) before the local8 point
         pipeline = run_scaling(
-            n_lo, n_hi, budget=int(_remaining() - SUITE_RESERVE - 300)
+            n_lo, n_hi, budget=int(_remaining() - SUITE_RESERVE - 150)
         )
         _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
