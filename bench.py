@@ -180,11 +180,14 @@ DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
 
 
 def _stall_floors() -> dict[str, float]:
-    """Per-query expected seconds: the last successful run's recorded
-    per-query seconds (bench_out/bench.json) where available AND
-    recorded at the same SF, else the static EXPECT_S pin. Derived,
-    not typed — a query whose plan got faster/slower last round moves
-    its own stall floor."""
+    """Per-query expected seconds: the MIN of the last successful
+    run's recorded per-query seconds (bench_out/bench.json, same SF
+    only) and the static EXPECT_S pin. Derived, not typed — a query
+    whose plan got faster moves its own stall floor down — but never
+    ratcheted UP by a prior run whose every sample stalled: adopting
+    an inflated prior verbatim would triple the re-probe threshold
+    and blind the stall detector to exactly the events it exists to
+    catch."""
     floors = dict(EXPECT_S)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -195,7 +198,7 @@ def _stall_floors() -> dict[str, float]:
         prior = detail.get("queries") or {}
         for name, sec in prior.items():
             if isinstance(sec, (int, float)) and sec > 0:
-                floors[name] = float(sec)
+                floors[name] = min(float(sec), floors.get(name, float(sec)))
     except (OSError, json.JSONDecodeError, AttributeError):
         pass
     return floors
@@ -412,10 +415,12 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
     t0 = time.time()
     lo: dict | None = None
     hi: dict | None = None
-    pairs_done = 0
+    rounds = 0  # rounds attempted (drives alternation + stopping)
+    pairs_done = 0  # rounds where BOTH levels produced a measurement
     min_pairs = max(2, REPEATS)
     while True:
-        order = [n_lo, n_hi] if pairs_done % 2 == 0 else [n_hi, n_lo]
+        order = [n_lo, n_hi] if rounds % 2 == 0 else [n_hi, n_lo]
+        round_ok = {n_lo: False, n_hi: False}
         for lvl in order:
             left = budget - (time.time() - t0)
             if left < 60:
@@ -423,12 +428,18 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
             m = pipeline_attempt(lvl, timeout=int(min(2400, left)))
             if m is None:
                 continue
+            round_ok[lvl] = True
             if lvl == n_lo:
                 lo = m if lo is None or m["seconds"] < lo["seconds"] else lo
             else:
                 hi = m if hi is None or m["seconds"] < hi["seconds"] else hi
-        pairs_done += 1
-        if pairs_done >= MAX_SCALING_PAIRS:
+        rounds += 1
+        # only a round with BOTH levels measured counts as pair
+        # evidence — a budget break mid-round must not inflate the
+        # recorded min-of-N claim
+        if round_ok[n_lo] and round_ok[n_hi]:
+            pairs_done += 1
+        if rounds >= MAX_SCALING_PAIRS:
             break
         est_next = (lo["seconds"] if lo else 900.0) + (hi["seconds"] if hi else 280.0)
         if time.time() - t0 + est_next > budget:
@@ -483,8 +494,10 @@ def _compact_pipeline(pipeline: dict) -> dict:
             out[k] = {"eff": v.get("scaling_efficiency")}
         elif k.startswith("colocation_adjusted_eff"):
             out[k] = v
-        elif k == "local8" and isinstance(v, dict):
-            out[k] = {"s8": v["seconds"], "tps8": v["triples_per_sec"]}
+        elif k == "point8" and isinstance(v, dict):
+            # stored under a non-"local*" key so the primary pair's
+            # digest (which sweeps localN entries) never absorbs it
+            out["local8"] = {"s8": v["seconds"], "tps8": v["triples_per_sec"]}
         elif k.endswith("_skipped"):
             out[k] = v
     return out
@@ -523,26 +536,29 @@ def main() -> None:
     pipeline: dict = {}
     if not args.skip_scaling:
         n_lo, n_hi = SCALE_LEVELS
-        # primary pair gets everything except the suite reserve and a
-        # thin slice for the local[8] throughput point — the pair is
-        # the graded criterion, so a slow window spends its time on a
-        # SECOND pair (min-of-2 per level) before the local8 point
-        pipeline = run_scaling(
-            n_lo, n_hi, budget=int(_remaining() - SUITE_RESERVE - 150)
-        )
+        # primary pair gets everything except the suite reserve — the
+        # pair is the graded criterion, so a slow window spends its
+        # time on a SECOND pair (min-of-2 per level); the local[8]
+        # point below rides whatever the pair phase leaves over (no
+        # carve-out: a slice too small to satisfy the est8 gate would
+        # just starve the pair phase for nothing)
+        pipeline = run_scaling(n_lo, n_hi, budget=int(_remaining() - SUITE_RESERVE))
         _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
         # absolute local[8] throughput point (VERDICT r4 #3): the
         # baseline comparison number. Runs when it fits; estimated at
         # 1.5× the local4 time (8 workers co-locate worse than 4).
+        # Skipped as redundant when 8 was already a pair level.
         hi_s = pipeline.get(f"local{n_hi}", {}).get("seconds")
         est8 = max(240.0, 1.5 * hi_s) if hi_s else 400.0
-        if _remaining() - SUITE_RESERVE > est8:
+        if 8 in SCALE_LEVELS:
+            pass  # the pair itself carries the local[8] measurement
+        elif _remaining() - SUITE_RESERVE > est8:
             m8 = pipeline_attempt(
                 8, timeout=int(min(2400, _remaining() - SUITE_RESERVE))
             )
             if m8 is not None:
-                pipeline["local8"] = m8
+                pipeline["point8"] = m8
         else:
             pipeline["local8_skipped"] = "deadline"
             print("[bench] local8 point skipped: behind schedule",

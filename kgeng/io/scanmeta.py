@@ -22,14 +22,19 @@ from functools import lru_cache
 # Spark's split budget default, used when no session is supplied or
 # the conf is unreadable.
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+# spark.sql.files.openCostInBytes default: the padding Spark charges
+# per file when packing scan partitions.
+_OPEN_COST_BYTES = 4 * 1024 * 1024
 
-_SIZE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
 
 
 def _max_partition_bytes(spark) -> int:
     """The session's actual split byte budget
-    (``spark.sql.files.maxPartitionBytes``, returned by Spark as e.g.
-    ``134217728b`` or set by a user as ``128m``)."""
+    (``spark.sql.files.maxPartitionBytes``). Accepts every byte-string
+    form Spark does: plain digits, ``134217728b``, ``128m``/``512mb``,
+    ``1g``/``1gb`` — a trailing ``b`` is stripped first, then a
+    k/m/g/t multiplier applied."""
     try:
         raw = str(
             spark.conf.get(
@@ -37,6 +42,8 @@ def _max_partition_bytes(spark) -> int:
                 str(_DEFAULT_MAX_PARTITION_BYTES),
             )
         ).strip().lower()
+        if raw.endswith("b"):
+            raw = raw[:-1]
         if raw and raw[-1] in _SIZE_SUFFIX:
             return int(raw[:-1]) * _SIZE_SUFFIX[raw[-1]]
         return int(raw)
@@ -69,20 +76,29 @@ def _total_bytes_and_files(path: str) -> tuple[int, int]:
 
 
 def estimated_scan_splits(
-    path: str, max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+    parallelism: int = 1,
 ) -> int:
-    """How many input splits a parquet scan of ``path`` will produce,
-    estimated from file sizes against the split byte budget (each file
-    contributes at least one split; large files split per
-    maxPartitionBytes). Compressed corpora routinely land in ONE split
-    this way — maxPartitionBytes is a byte budget, not a row budget."""
+    """How many scan partitions a parquet read of ``path`` will
+    produce, mirroring Spark's FilePartition planning: the effective
+    split size is ``min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/parallelism))`` — Spark SHRINKS splits below the 128MB
+    budget when the table is small relative to the core count — and
+    files are packed into bins of that size with a per-file open-cost
+    padding. Compressed corpora still routinely land in ONE split:
+    the budget is a byte budget, not a row budget."""
     total, n_files = _total_bytes_and_files(path)
-    return max(n_files, -(-total // max_partition_bytes))
+    padded = total + n_files * _OPEN_COST_BYTES
+    bytes_per_core = padded // max(1, parallelism)
+    split = min(max_partition_bytes, max(_OPEN_COST_BYTES, bytes_per_core))
+    return max(1, -(-padded // split))
 
 
 def needs_ingest_spread(spark, path: str) -> bool:
     """True when the scan would occupy fewer task slots than the
     session has cores — the signal to repartition at ingest before a
     per-row-expensive stage (shingling, vector arithmetic, UDFs)."""
-    splits = estimated_scan_splits(path, _max_partition_bytes(spark))
-    return splits < spark.sparkContext.defaultParallelism
+    par = spark.sparkContext.defaultParallelism
+    splits = estimated_scan_splits(path, _max_partition_bytes(spark), par)
+    return splits < par

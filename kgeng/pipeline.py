@@ -50,7 +50,11 @@ LINK_DIM_TABLES = ("alias_map", "idf", "ent", "labels")
 
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers — no Spark job, no data scan
-    (lineage row counts shouldn't cost a cluster pass)."""
+    (lineage row counts shouldn't cost a cluster pass). Deliberately
+    NOT ``kgeng.io.scanmeta.parquet_rows``: that probe is lru_cached
+    for immutable graded inputs, while this one counts stage OUTPUT
+    dirs that are rewritten between runs at the same path — a cached
+    count would be stale on resume."""
     return sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)

@@ -44,7 +44,7 @@ def _fake_pipeline() -> dict:
     }
     return {
         **pair,
-        "local8": _fake_level(8),
+        "point8": _fake_level(8),
         "pair_2_8": pair2,
         "cpu_twin_2_8": {
             "pages": 30000,
@@ -94,6 +94,10 @@ def test_compact_pipeline_propagates_errors():
 def test_compact_pipeline_keeps_local8_point_and_skip_markers():
     c = bench._compact_pipeline(_fake_pipeline())
     assert c["local8"] == {"s8": 1234.567, "tps8": 100043.9}
+    # the point must NOT leak into the primary pair's digest — the
+    # primary eff was computed over its own two levels only (the r5
+    # shakedown line carried a spurious s8/tps8 inside "primary")
+    assert "s8" not in c["primary"] and "tps8" not in c["primary"]
     c2 = bench._compact_pipeline({"local8_skipped": "deadline", "pair2_skipped": "deadline"})
     assert c2["local8_skipped"] == "deadline"
     assert c2["pair2_skipped"] == "deadline"
@@ -158,8 +162,20 @@ def test_stall_floors_prefer_last_recorded_run(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(bench, "DETAIL_PATH", str(detail))
     floors = bench._stall_floors()
-    assert floors["kg_counts"] == 9.9  # derived from the recorded run
+    # a recorded prior ABOVE the static pin must not ratchet the floor
+    # up (an all-samples-stalled prior would otherwise blind the 3x
+    # stall detector next run): min(recorded, pin) wins
+    assert floors["kg_counts"] == bench.EXPECT_S["kg_counts"]
     assert "bogus" not in floors or isinstance(floors.get("bogus"), float)
+    # a recorded prior BELOW the pin moves the floor down (plan got
+    # faster -> its own floor tracks it)
+    detail.write_text(
+        json.dumps({"sf": float(sf), "queries": {"kg_counts": 0.5}})
+    )
+    assert bench._stall_floors()["kg_counts"] == 0.5
+    detail.write_text(
+        json.dumps({"sf": float(sf), "queries": {"kg_counts": 9.9, "bogus": "x"}})
+    )
     # queries without a recorded prior keep the static pin
     assert floors["kg_two_hop_closure"] == bench.EXPECT_S["kg_two_hop_closure"]
     # a prior run at a DIFFERENT sf must not leak into the floors

@@ -21,8 +21,21 @@ def test_parquet_rows_matches_footer():
 def test_split_estimate_tracks_the_byte_budget():
     # the whole test corpus fits one default split...
     assert estimated_scan_splits(DOCS) == 1
-    # ...but a 1KB budget forces ceil(bytes/1024) splits
+    # ...but a tiny budget forces many splits
     assert estimated_scan_splits(DOCS, max_partition_bytes=1024) > 1
+
+
+def test_split_estimate_mirrors_sparks_small_table_shrink(tmp_path):
+    # Spark shrinks the split size to totalBytes/parallelism (floored
+    # at the 4MB open cost) when the table is small relative to the
+    # core count — a mid-size file therefore yields ~parallelism
+    # splits, NOT ceil(bytes/128MB). 64MB file: 1 split on one core,
+    # ~8 on eight (8.5MB effective splits).
+    f = tmp_path / "big.parquet"
+    with open(f, "wb") as fh:
+        fh.truncate(64 * 1024 * 1024)
+    assert estimated_scan_splits(str(f), parallelism=1) == 1
+    assert estimated_scan_splits(str(f), parallelism=8) == 8
 
 
 class _FakeConf:
@@ -41,9 +54,11 @@ class _FakeSpark:
 def test_max_partition_bytes_parses_spark_forms():
     # Spark returns the default with a unit suffix
     assert _max_partition_bytes(_FakeSpark("134217728b")) == 128 * 1024**2
-    # user-set forms
+    # user-set forms, one- and two-letter suffixes alike
     assert _max_partition_bytes(_FakeSpark("128m")) == 128 * 1024**2
+    assert _max_partition_bytes(_FakeSpark("512mb")) == 512 * 1024**2
     assert _max_partition_bytes(_FakeSpark("1g")) == 1024**3
+    assert _max_partition_bytes(_FakeSpark("1gb")) == 1024**3
     assert _max_partition_bytes(_FakeSpark("4096")) == 4096
     # unreadable conf falls back to the default, never raises
     assert _max_partition_bytes(_FakeSpark("not-a-size")) == 128 * 1024**2
