@@ -559,6 +559,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_fingerprint,
     doc_lang_id,
     doc_mix_weights,
+    doc_oov_rate,
     doc_pack,
     doc_pii_scrub,
     doc_quality,
@@ -605,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mix_weights": doc_mix_weights,
     "doc_pack": doc_pack,
     "doc_split": doc_split,
+    "doc_oov_rate": doc_oov_rate,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_assign": dedup_cluster_assign,

@@ -475,6 +475,29 @@ ORACLES: dict[str, str] = {
            CAST(off % 2048 AS INT) AS pack_offset
     FROM runs
     """,
+    "doc_oov_rate": """
+    -- per-doc OOV against the corpus's own top-16 vocabulary
+    -- (count desc, token asc tie-break); integer basis points
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 16
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS INT)
+               AS n_oov,
+           CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS INT) AS oov_bp
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
     "doc_split": f"""
     -- keyed-md5 basis-point bucket -> train/valid/test; first 7 hex
     -- digits parsed via the shared polynomial (no engine hex cast)

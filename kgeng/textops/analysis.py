@@ -492,6 +492,60 @@ def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── vocabulary coverage / OOV analysis ───────────────────────────────
+# Top-K corpus vocabulary. 16 keeps the op non-degenerate on the
+# 31-distinct-token synthetic corpora; a deployment raises the
+# constant (real tokenizer vocabs are 10⁴-10⁵) — the plan shape
+# (K-bounded TakeOrdered + broadcast) is what matters, not K.
+VOCAB_K = 16
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-VOCAB_K token vocabulary (count desc, token asc tie-break) —
+    the tokenizer-coverage check a training pipeline runs before
+    committing to a vocab. Rates in integer basis points (exact on
+    both engines; no float division).
+
+    Scale shape: two passes over the corpus are inherent (the vocab
+    must exist before scoring). Pass 1 is a map-side-combined token
+    count whose result is cut to K rows via TakeOrderedAndProject
+    (per-partition top-K + K-row driver merge — never a global sort);
+    pass 2 joins the exploded tokens against the BROADCAST K-row
+    vocab and re-aggregates per doc. Both shuffles carry bounded
+    payloads (distinct tokens / per-doc partials) at any corpus
+    size."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST((n_oov * 10000) div n_tokens AS INT)").alias(
+                "oov_bp"
+            ),
+        )
+    )
+
+
 # ── deterministic train/valid/test split ─────────────────────────────
 SPLIT_SEED = "kgeng-split"
 SPLIT_BP = (9800, 9900)  # train < 9800 ≤ valid < 9900 ≤ test, of 10000

@@ -274,6 +274,22 @@ def test_pack_windows_over_the_derived_shard_width(spark):
     assert len(hash_ex) == 1 and "shard" in hash_ex[0], hash_ex
 
 
+def test_oov_vocab_is_topk_selected_and_broadcast(spark):
+    """doc_oov_rate's vocabulary must be cut to K rows via
+    TakeOrderedAndProject (per-partition top-K + K-row driver merge —
+    never a global sort of the token table) and joined as a BROADCAST
+    build side; no window function anywhere."""
+    from kgeng.textops.analysis import doc_oov_rate
+
+    plan = doc_oov_rate(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+    # the only Sorts allowed are inside the top-K operator itself
+    sort_lines = [l for l in plan.splitlines() if l.strip().startswith("+- Sort")]
+    assert not sort_lines, sort_lines
+
+
 def test_mix_weights_broadcasts_the_scalar_total(spark):
     """doc_mix_weights joins the per-domain aggregate against the
     1-row corpus total: the total must be the broadcast side (the
