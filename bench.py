@@ -109,6 +109,7 @@ HEADLINE = [
     "q_top_parts_per_brand",
     "q_events_sessions",
     "q_events_asof",
+    "q_events_attrib",
     # training-data ops
     "doc_quality",
     "doc_lang_id",
@@ -124,6 +125,7 @@ HEADLINE = [
     "doc_pack",
     "doc_split",
     "doc_oov_rate",
+    "doc_mix_sample",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on
@@ -164,7 +166,8 @@ EXPECT_S = {
     "kg_degree0_audit": 3.36, "kg_build_audit": 4.8, "kg_counts": 1.27,
     "q_pricing_summary": 0.26, "q_revenue_by_nation": 0.96,
     "q_top_parts_per_brand": 0.63, "q_events_sessions": 0.43,
-    "q_events_asof": 0.65, "doc_filter_chain": 2.2, "ann_quantize_sq8": 1.65,
+    "q_events_asof": 0.65, "q_events_attrib": 0.7,
+    "doc_filter_chain": 2.2, "ann_quantize_sq8": 1.65,
     "doc_quality": 0.26, "doc_lang_id": 0.39, "doc_pii_scrub": 0.27,
     "doc_domain_quota": 0.39, "doc_decontam": 0.87, "doc_repetition": 0.88,
     "dedup_exact": 0.31,
@@ -177,6 +180,7 @@ EXPECT_S = {
     # runs, local[32]; doc_oov_rate provisional — two-pass sibling of
     # doc_decontam)
     "doc_pack": 0.4, "doc_split": 0.19, "doc_oov_rate": 0.9,
+    "doc_mix_sample": 0.8,
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")

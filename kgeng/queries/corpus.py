@@ -520,6 +520,70 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIB_WINDOW_S = 3600  # attribution lookahead, whole seconds
+
+
+def q_events_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (attribution): for each click, the purchases by
+    the same user in the following hour — click id, purchase count,
+    and the earliest attributed purchase id. All-integer outputs
+    (whole-second timestamps, counts, min id), so both engines agree
+    bit-for-bit.
+
+    Scale shape: NOT the naive per-user join (a whale user with 10⁶
+    clicks × 10⁶ purchases is a quadratic key group). Purchases are
+    duplicated into their own hour bucket AND the preceding one, and
+    the join key is (user_id, hour_bucket): every click matches only
+    candidates from its two adjacent hour buckets, so pair space per
+    task is bounded by per-(user, hour) activity regardless of how
+    hot the user is — the time-bucketed interval-join idiom. The
+    range predicate then exactifies the candidates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("tsec"),
+    )
+    w = F.lit(ATTRIB_WINDOW_S)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("tsec").alias("ctsec"),
+        F.expr(f"tsec div {ATTRIB_WINDOW_S}").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("tsec").alias("ptsec"),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "ptsec",
+            F.explode(
+                F.array(
+                    F.expr(f"ptsec div {ATTRIB_WINDOW_S}"),
+                    F.expr(f"ptsec div {ATTRIB_WINDOW_S} - 1"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        clicks.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("ptsec") > F.col("ctsec"))
+            & (F.col("ptsec") <= F.col("ctsec") + w)
+        )
+        .groupBy("click_id", "user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_purchases"),
+            F.min("purchase_id").alias("first_purchase_id"),
+        )
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed event rollup (the batch twin of the streaming
     windowed agg in kgeng.streaming)."""
@@ -558,6 +622,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_filter_chain,
     doc_fingerprint,
     doc_lang_id,
+    doc_mix_sample,
     doc_mix_weights,
     doc_oov_rate,
     doc_pack,
@@ -607,6 +672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": doc_pack,
     "doc_split": doc_split,
     "doc_oov_rate": doc_oov_rate,
+    "doc_mix_sample": doc_mix_sample,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_assign": dedup_cluster_assign,
@@ -639,6 +705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_events_asof": q_events_asof,
+    "q_events_attrib": q_events_attrib,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
 }

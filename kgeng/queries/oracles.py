@@ -475,6 +475,31 @@ ORACLES: dict[str, str] = {
            CAST(off % 2048 AS INT) AS pack_offset
     FROM runs
     """,
+    "doc_mix_sample": f"""
+    -- weight-proportional Bernoulli keep: bucket = keyed-md5 basis
+    -- points (shared polynomial hex parse), survives iff bucket <
+    -- the domain's token-share weight_bp (doc_mix_weights rule)
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+                 AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             CAST((n_tokens * 10000) // (SELECT SUM(n_tokens) FROM per)
+                  AS INT) AS weight_bp
+      FROM per
+    )
+    SELECT doc_id, source, bucket, weight_bp FROM (
+      SELECT d.doc_id, d.source, w.weight_bp,
+             CAST({_hex_to_int_sql(
+                 "substr(md5('kgeng-sample|' || CAST(doc_id AS VARCHAR)), 1, 7)", 7
+             )} % 10000 AS INT) AS bucket
+      FROM documents d JOIN w USING (source)
+    )
+    WHERE bucket < weight_bp
+    """,
     "doc_oov_rate": """
     -- per-doc OOV against the corpus's own top-16 vocabulary
     -- (count desc, token asc tie-break); integer basis points
@@ -752,6 +777,25 @@ ORACLES: dict[str, str] = {
     SELECT user_id, COUNT(*) AS n_sessions,
            ROUND(AVG(n_events), 4) AS avg_session_events
     FROM per_session GROUP BY user_id
+    """,
+    "q_events_attrib": """
+    -- interval-join twin: the plain per-user range join is
+    -- oracle-only — the Spark side is the time-bucketed equi-join
+    -- (purchases duplicated into two adjacent hour buckets), which
+    -- produces the identical match set with bounded pair space
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(COUNT(*) AS INT) AS n_purchases,
+           MIN(p.event_id) AS first_purchase_id
+    FROM e c JOIN e p
+      ON p.user_id = c.user_id
+     AND p.tsec > c.tsec AND p.tsec <= c.tsec + 3600
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.event_id, c.user_id
     """,
     "q_events_asof": """
     -- as-of join twin: whole-second arithmetic everywhere (Spark's

@@ -587,6 +587,56 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_SEED = "kgeng-sample"
+
+
+def doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight-proportional downsampling: keep each document
+    with probability equal to its domain's token-share weight (basis
+    points, the doc_mix_weights rule) via a deterministic keyed-hash
+    Bernoulli draw — the rebalancing step that turns mixture weights
+    into an actual training corpus. Integer-exact on both engines: a
+    doc survives iff its basis-point bucket < its domain's weight_bp.
+
+    Scale shape: one map-side-combined pass builds the per-domain
+    weights (domain-count-sized), broadcast back over the corpus
+    (with the same 1-row total broadcast as doc_mix_weights); the
+    draw itself is a pure per-row filter — no shuffle of the corpus,
+    deterministic under any parallelism, re-drawable per epoch via
+    SAMPLE_SEED."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    weights = per.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("CAST((n_tokens * 10000) div tot AS INT)").alias("weight_bp")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SAMPLE_SEED + "|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ).cast("int")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .select("doc_id", "source", bucket.alias("bucket"), "weight_bp")
+        .filter(F.col("bucket") < F.col("weight_bp"))
+        .select("doc_id", "source", "bucket", "weight_bp")
+    )
+
+
 def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain mixture weights for training-data composition: doc
     and token counts per source plus the sampling weight in basis

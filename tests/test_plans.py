@@ -290,6 +290,47 @@ def test_oov_vocab_is_topk_selected_and_broadcast(spark):
     assert not sort_lines, sort_lines
 
 
+def test_mix_sample_never_shuffles_the_corpus_for_the_join(spark):
+    """doc_mix_sample joins the corpus against its per-domain weights:
+    the weights (domain-count-sized) must be the BROADCAST side; the
+    corpus itself is never hash-exchanged for a join. The only hash
+    exchanges allowed are the ones under the weight aggregates, which
+    carry map-side partials."""
+    from kgeng.textops.analysis import doc_mix_sample
+
+    plan = doc_mix_sample(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            below = "\n".join(lines[i : i + 4])
+            assert "HashAggregate" in below, (l, below)
+
+
+def test_attrib_join_is_time_bucketed(spark):
+    """q_events_attrib must join on the COMPOSITE (user_id, bucket)
+    key — never on user_id alone, which makes a whale user a
+    quadratic key group. Every join-feeding exchange carries both
+    keys."""
+    from kgeng.queries.corpus import q_events_attrib
+
+    plan = q_events_attrib(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # whatever physical join Spark picks (broadcast at test scale,
+    # shuffled at corpus scale), its equi-key list must carry BOTH
+    # user_id and bucket — user_id alone makes a whale user quadratic
+    join_lines = [l for l in plan.splitlines() if "Join [" in l or "HashJoin [" in l]
+    assert join_lines, plan
+    for l in join_lines:
+        keys = l.split("]", 1)[0]
+        assert "user_id" in keys and "bucket" in keys, l
+    # any join-side exchange (AQE may replan to SMJ) must carry both
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l and "click_id" not in l:
+            assert "user_id" in l and "bucket" in l, l
+
+
 def test_mix_weights_broadcasts_the_scalar_total(spark):
     """doc_mix_weights joins the per-domain aggregate against the
     1-row corpus total: the total must be the broadcast side (the
