@@ -180,7 +180,9 @@ EXPECT_S = {
     # runs, local[32]; doc_oov_rate provisional — two-pass sibling of
     # doc_decontam)
     "doc_pack": 0.4, "doc_split": 0.19, "doc_oov_rate": 0.9,
-    "doc_mix_sample": 0.8,
+    # warm sf0.1 local[32] spot-check measured 2.9 s (two corpus
+    # passes + broadcast); a 0.8 pin would re-probe every run
+    "doc_mix_sample": 1.5,
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
