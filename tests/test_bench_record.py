@@ -119,6 +119,16 @@ def test_fit_line_degrades_until_it_fits():
     assert rec.get("queries_dropped_for_size") is True
 
 
+def test_every_headline_query_is_registered():
+    # a HEADLINE name missing from QUERIES would KeyError mid-suite
+    # and kill the graded run — catch the typo at test time
+    from kgeng.queries.corpus import QUERIES
+
+    assert set(bench.HEADLINE) <= set(QUERIES), (
+        set(bench.HEADLINE) - set(QUERIES)
+    )
+
+
 def test_every_headline_query_has_a_static_floor():
     # a HEADLINE query without an EXPECT_S fallback silently gets the
     # weak 15 s stall floor (ADVICE r4) — keep the tables in sync
