@@ -126,6 +126,7 @@ HEADLINE = [
     "doc_split",
     "doc_oov_rate",
     "doc_mix_sample",
+    "doc_top_ngrams",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on
@@ -182,7 +183,7 @@ EXPECT_S = {
     "doc_pack": 0.4, "doc_split": 0.19, "doc_oov_rate": 0.9,
     # warm sf0.1 local[32] spot-check measured 2.9 s (two corpus
     # passes + broadcast); a 0.8 pin would re-probe every run
-    "doc_mix_sample": 1.5,
+    "doc_mix_sample": 1.5, "doc_top_ngrams": 2.4,
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")

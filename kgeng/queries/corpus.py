@@ -632,6 +632,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_shuffle_shard,
     doc_split,
     doc_token_stats,
+    doc_top_ngrams,
 )
 from kgeng.textops.dedup import (  # noqa: E402
     dedup_cluster_assign,
@@ -673,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": doc_split,
     "doc_oov_rate": doc_oov_rate,
     "doc_mix_sample": doc_mix_sample,
+    "doc_top_ngrams": doc_top_ngrams,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_assign": dedup_cluster_assign,

@@ -475,6 +475,25 @@ ORACLES: dict[str, str] = {
            CAST(off % 2048 AS INT) AS pack_offset
     FROM runs
     """,
+    "doc_top_ngrams": """
+    -- per-language top-5 bigrams (count desc, bigram asc ties); the
+    -- Spark side's salt is plan-only (distributed top-k merge), so
+    -- this oracle ranks per language directly
+    WITH b AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM (SELECT lang, regexp_split_to_array(text, '\\s+') AS tk
+            FROM documents)
+    ),
+    c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY lang, bg)
+    SELECT lang, bg, n, CAST(rank AS INT) AS rank FROM (
+      SELECT lang, bg, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bg ASC) AS rank
+      FROM c
+    ) WHERE rank <= 5
+    """,
     "doc_mix_sample": f"""
     -- weight-proportional Bernoulli keep: bucket = keyed-md5 basis
     -- points (shared polynomial hex parse), survives iff bucket <

@@ -210,6 +210,60 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_NGRAMS_K = 5
+NGRAM_SALT_BUCKETS = 16
+
+
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K word bigrams per language — the n-gram frequency profile
+    langid models are induced from (corpus profiling). Deterministic:
+    ties break on (count desc, bigram asc).
+
+    Scale shape: bigram counting is a map-side-combined groupBy on
+    (lang, bigram); the per-language top-K then faces a HOT key (a
+    handful of languages over every distinct bigram in the corpus),
+    so it uses the same salted two-phase rank as doc_domain_quota —
+    phase 1 ranks within (lang, salt) keeping K per bucket, phase 2
+    ranks the ≤ K×SALT survivors. The global top-K per language is
+    always contained in the union of per-salt top-Ks (distributed
+    top-k merge), so the salt changes the plan, never the result —
+    which is why the DuckDB oracle ranks per language directly."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("bg"), F.lit(NGRAM_SALT_BUCKETS))
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("n").desc(), F.col("bg")
+    )
+    survivors = salted.withColumn("_rk1", F.row_number().over(w1)).filter(
+        F.col("_rk1") <= TOP_NGRAMS_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_NGRAMS_K)
+        .select("lang", "bg", "n", "rank")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of case-normalized text); distinct
     fingerprints per source — the audit a dedup pass starts from."""

@@ -198,9 +198,9 @@ def test_node_table_never_broadcast_build_side(spark):
 
 def _salted_window_queries():
     from kgeng.queries.corpus import q_top_parts_per_brand
-    from kgeng.textops.analysis import doc_domain_quota
+    from kgeng.textops.analysis import doc_domain_quota, doc_top_ngrams
 
-    return [doc_domain_quota, q_top_parts_per_brand]
+    return [doc_domain_quota, q_top_parts_per_brand, doc_top_ngrams]
 
 
 @pytest.mark.parametrize("q", _salted_window_queries(), ids=lambda q: q.__name__)
