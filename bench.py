@@ -4,7 +4,10 @@
 Default mode (what the driver runs): runs the KG-construction pipeline
 on a deterministic heavy-page corpus at TWO parallelism levels
 (local[1] and local[4] by default, in separate JVMs) to evidence the
-N->4N scaling criterion, then executes the headline query suite at
+N->4N scaling criterion — the pairs run on a HALF-SIZE corpus
+(``SPARK_GRAFT_PAIR_PAGES``) so min-of-2 interleaved pairs always fit
+the budget, while the absolute local[8] throughput point keeps the
+full corpus — then executes the headline query suite at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line::
 
@@ -52,6 +55,15 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "720000"))
+# Scaling pairs run on a HALF-SIZE corpus (VERDICT r5 #2): efficiency
+# is a ratio and BENCH.md §1 shows it holds across corpus sizes (the
+# 360k-page gzip pair measured >=0.98), while halving the pages takes
+# ~550s off each local[1] attempt — which is what guarantees TWO full
+# interleaved pairs (min-of-2 per level, the evidence this host's 2-4x
+# windows require) inside the driver budget. The absolute local[8]
+# throughput point keeps the full corpus: it is the BASELINE.md
+# comparison number, not a ratio.
+PAIR_PAGES = int(os.environ.get("SPARK_GRAFT_PAIR_PAGES", str(BENCH_PAGES // 2)))
 PAGE_FILLER_KB = 18  # ~20KB pages: realistic per-page parse cost
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 # N and 4N cores for the scaling-efficiency criterion. 1,4 by default:
@@ -142,16 +154,16 @@ HEADLINE = [
 ]
 
 
-def bench_corpus() -> tuple[str, str]:
+def bench_corpus(n_pages: int = BENCH_PAGES) -> tuple[str, str]:
     # gzip html payloads: the shape Common-Crawl WARC bodies arrive in
     # (and what keeps the JVM->Python Arrow channel byte volume ~20x
     # smaller than the decoded documents)
-    pages = os.path.join(FIX, f"bench_pages_{BENCH_PAGES}_f{PAGE_FILLER_KB}_gz.parquet")
+    pages = os.path.join(FIX, f"bench_pages_{n_pages}_f{PAGE_FILLER_KB}_gz.parquet")
     dic = os.path.join(FIX, "bench_dict.parquet")
     from kgeng import fixtures
 
     if not os.path.exists(pages):
-        fixtures.write_pages(pages, BENCH_PAGES, mult=5, filler_kb=PAGE_FILLER_KB, gzip_html=True)
+        fixtures.write_pages(pages, n_pages, mult=5, filler_kb=PAGE_FILLER_KB, gzip_html=True)
     if not os.path.exists(dic):
         fixtures.write_dictionary(dic)
     return pages, dic
@@ -187,28 +199,59 @@ EXPECT_S = {
 }
 
 DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
+# Per-SF persistent floor file, min-merged after every suite run: a
+# NEW query self-seeds its stall floor from its first recorded run, so
+# the static EXPECT_S table stops growing (VERDICT r5 #5), and an
+# sf0.01 run no longer clobbers the sf0.1 floors (the bench.json
+# detail file is last-run-only; this file is keyed by SF).
+FLOORS_PATH = os.path.join(REPO, "bench_out", "floors.json")
+
+
+def _merge_floors(sf: str, queries: dict[str, float]) -> None:
+    """Min-merge this run's per-query seconds into the per-SF floor
+    file. Min-merge (never replace) keeps one all-stalled run from
+    ratcheting the re-probe threshold up."""
+    try:
+        with open(FLOORS_PATH, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        data = {}
+    cur = data.setdefault(str(sf), {})
+    for name, sec in queries.items():
+        if isinstance(sec, (int, float)) and sec > 0:
+            cur[name] = min(float(sec), cur.get(name, float(sec)))
+    os.makedirs(os.path.dirname(FLOORS_PATH), exist_ok=True)
+    with open(FLOORS_PATH, "w", encoding="utf-8") as fh:
+        json.dump(data, fh, indent=1)
 
 
 def _stall_floors() -> dict[str, float]:
-    """Per-query expected seconds: the MIN of the last successful
-    run's recorded per-query seconds (bench_out/bench.json, same SF
-    only) and the static EXPECT_S pin. Derived, not typed — a query
-    whose plan got faster moves its own stall floor down — but never
-    ratcheted UP by a prior run whose every sample stalled: adopting
-    an inflated prior verbatim would triple the re-probe threshold
-    and blind the stall detector to exactly the events it exists to
-    catch."""
+    """Per-query expected seconds: the MIN over the static EXPECT_S
+    pin (bootstrap for a fresh checkout), the persistent per-SF floor
+    file, and the last successful run's detail (same SF only). Derived,
+    not typed — a query whose plan got faster moves its own stall
+    floor down — but never ratcheted UP by a prior run whose every
+    sample stalled: adopting an inflated prior verbatim would triple
+    the re-probe threshold and blind the stall detector to exactly the
+    events it exists to catch."""
     floors = dict(EXPECT_S)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    try:
-        with open(DETAIL_PATH, encoding="utf-8") as fh:
-            detail = json.load(fh)
-        if str(detail.get("sf")) != sf:
-            return floors  # prior run measured a different scale
-        prior = detail.get("queries") or {}
+
+    def merge(prior: dict) -> None:
         for name, sec in prior.items():
             if isinstance(sec, (int, float)) and sec > 0:
                 floors[name] = min(float(sec), floors.get(name, float(sec)))
+
+    try:
+        with open(FLOORS_PATH, encoding="utf-8") as fh:
+            merge(json.load(fh).get(str(sf), {}))
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    try:
+        with open(DETAIL_PATH, encoding="utf-8") as fh:
+            detail = json.load(fh)
+        if str(detail.get("sf")) == sf:
+            merge(detail.get("queries") or {})
     except (OSError, json.JSONDecodeError, AttributeError):
         pass
     return floors
@@ -239,6 +282,18 @@ def _fit_line(record: dict) -> str:
         record.pop("queries")
         record["queries_dropped_for_size"] = True
         line = json.dumps(record)
+    if len(line) > 1900:
+        # enforce the documented bound even if a pipeline digest full
+        # of pair_*/skip keys + an error string outgrew it (ADVICE r5):
+        # a minimal-but-parseable record beats a clipped line
+        line = json.dumps({
+            "metric": record.get("metric", "headline_suite_seconds"),
+            "value": record.get("value"),
+            "unit": record.get("unit", "sec"),
+            "sf": record.get("sf"),
+            "detail": record.get("detail"),
+            "line_truncated_for_size": True,
+        })
     return line
 
 
@@ -296,9 +351,9 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
     return out, samples
 
 
-def pipeline_once(cpus: int) -> dict:
+def pipeline_once(cpus: int, n_pages: int = BENCH_PAGES) -> dict:
     """Subprocess: one pipeline measurement at local[cpus]."""
-    pages, dic = bench_corpus()
+    pages, dic = bench_corpus(n_pages)
     out_dir = os.path.join(FIX, f"bench_pipe_{cpus}")
     shutil.rmtree(out_dir, ignore_errors=True)
     from kgeng.pipeline import run_pipeline
@@ -311,20 +366,25 @@ def pipeline_once(cpus: int) -> dict:
     secs = res["total_seconds"]
     return {
         "cpus": cpus,
-        "pages": BENCH_PAGES,
+        "pages": n_pages,
         "triples": n_triples,
         "seconds": secs,
-        "pages_per_sec": round(BENCH_PAGES / secs, 1),
+        "pages_per_sec": round(n_pages / secs, 1),
         "triples_per_sec": round(n_triples / secs, 1),
         "stages": {k: v["seconds"] for k, v in res["metrics"].items()},
     }
 
 
-def pipeline_attempt(cpus: int, timeout: int = 2400) -> dict | None:
+def pipeline_attempt(
+    cpus: int, timeout: int = 2400, n_pages: int = BENCH_PAGES
+) -> dict | None:
     """One pipeline measurement in a fresh JVM; None on any failure
     (timeout, nonzero exit, unparseable output) — the caller skips
     failed attempts instead of dying mid-bench."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-run", "--cpus", str(cpus)]
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--pipeline-run",
+        "--cpus", str(cpus), "--pages", str(n_pages),
+    ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=timeout)
     except subprocess.TimeoutExpired:
@@ -408,7 +468,9 @@ def run_cpu_twin(n_lo: int, n_hi: int) -> dict:
     }
 
 
-def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
+def run_scaling(
+    n_lo: int, n_hi: int, budget: int, n_pages: int = PAIR_PAGES
+) -> dict:
     """Scaling-efficiency measurement: SYMMETRIC interleaved pairs.
 
     Each round runs BOTH levels (alternating which goes first, to
@@ -435,7 +497,7 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
             left = budget - (time.time() - t0)
             if left < 60:
                 break
-            m = pipeline_attempt(lvl, timeout=int(min(2400, left)))
+            m = pipeline_attempt(lvl, timeout=int(min(2400, left)), n_pages=n_pages)
             if m is None:
                 continue
             round_ok[lvl] = True
@@ -451,7 +513,12 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
             pairs_done += 1
         if rounds >= MAX_SCALING_PAIRS:
             break
-        est_next = (lo["seconds"] if lo else 900.0) + (hi["seconds"] if hi else 280.0)
+        # unmeasured-level seeds are the full-corpus slow-window priors
+        # scaled to this pair's corpus size
+        scale = n_pages / BENCH_PAGES
+        est_next = (lo["seconds"] if lo else 900.0 * scale) + (
+            hi["seconds"] if hi else 280.0 * scale
+        )
         if time.time() - t0 + est_next > budget:
             if pairs_done < min_pairs:
                 print(
@@ -470,6 +537,7 @@ def run_scaling(n_lo: int, n_hi: int, budget: int) -> dict:
         "speedup": round(lo["seconds"] / hi["seconds"], 2),
         "core_ratio": ratio,
         "pairs": pairs_done,
+        "pages": n_pages,
         "scaling_efficiency": eff,
     }
 
@@ -492,6 +560,8 @@ def _compact_pipeline(pipeline: dict) -> dict:
                 out[f"tps{n}"] = v["triples_per_sec"]
         out["pairs"] = p.get("pairs")
         out["eff"] = p.get("scaling_efficiency")
+        if p.get("pages"):
+            out["pg"] = p["pages"]
         return out
 
     if not pipeline:
@@ -517,11 +587,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-run", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--pages", type=int, default=BENCH_PAGES)
     ap.add_argument("--skip-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline_run:
-        print(json.dumps(pipeline_once(args.cpus)))
+        print(json.dumps(pipeline_once(args.cpus, args.pages)))
         return
 
     _DEADLINE[0] = time.time() + TOTAL_BUDGET
@@ -537,7 +608,10 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _emit_partial)
     signal.signal(signal.SIGINT, _emit_partial)
 
-    bench_corpus()  # generate before timing anything
+    # generate BOTH corpora before timing anything (pair corpus for the
+    # scaling phases, full corpus for the absolute local[8] point + twin)
+    bench_corpus(PAIR_PAGES)
+    bench_corpus()
 
     # scaling pairs FIRST: they are the graded criterion and the
     # longest measurement. Every phase debits the one global deadline;
@@ -556,15 +630,17 @@ def main() -> None:
         _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
         # absolute local[8] throughput point (VERDICT r4 #3): the
-        # baseline comparison number. Runs when it fits; estimated at
-        # 1.2× the local4 time (measured local8/local4 wall ratios:
-        # 1.08 slow-window r5, 0.61 quiet r3 — 1.5× was so pessimistic
-        # it skipped runnable points by seconds). If the estimate is
-        # still wrong the attempt is killed at the suite reserve, which
-        # stays intact either way. Skipped as redundant when 8 was
-        # already a pair level.
+        # baseline comparison number, measured on the FULL corpus.
+        # Runs when it fits; estimated at 1.2× the pair's local4 time
+        # scaled up to the full corpus (measured local8/local4 wall
+        # ratios: 1.08 slow-window r5, 0.61 quiet r3 — 1.5× was so
+        # pessimistic it skipped runnable points by seconds). If the
+        # estimate is still wrong the attempt is killed at the suite
+        # reserve, which stays intact either way. Skipped as redundant
+        # when 8 was already a pair level.
         hi_s = pipeline.get(f"local{n_hi}", {}).get("seconds")
-        est8 = max(240.0, 1.2 * hi_s) if hi_s else 400.0
+        corpus_up = BENCH_PAGES / max(1, PAIR_PAGES)
+        est8 = max(240.0, 1.2 * hi_s * corpus_up) if hi_s else 400.0
         if 8 in SCALE_LEVELS:
             pass  # the pair itself carries the local[8] measurement
         elif _remaining() - SUITE_RESERVE > est8:
@@ -584,7 +660,8 @@ def main() -> None:
         # pair; r3's graded record already carries this evidence)
         if SCALE_LEVELS_2:
             s_lo, s_hi = SCALE_LEVELS_2
-            est_pair2 = 2 * (600.0 + 200.0)
+            # full-corpus slow-window priors scaled to the pair corpus
+            est_pair2 = 2 * (600.0 + 200.0) * (PAIR_PAGES / BENCH_PAGES)
             if _remaining() - SUITE_RESERVE > est_pair2 + 150:
                 pair2 = run_scaling(
                     s_lo, s_hi,
@@ -608,6 +685,7 @@ def main() -> None:
             _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
     queries, samples = run_queries()
+    _merge_floors(_PARTIAL["sf"], queries)
 
     total = round(sum(queries.values()), 3)
     record = {
