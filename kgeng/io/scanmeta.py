@@ -60,17 +60,39 @@ def _parquet_files(path: str) -> list[str]:
     return [path]
 
 
+def _stat_sig(files: tuple[str, ...]) -> tuple[int, int]:
+    """(newest mtime_ns, total bytes) of ``files`` — the cache-key
+    component that invalidates a cached probe when a path is rewritten
+    in-process (regenerated fixture, stage output): a stale row count
+    would give ``doc_shuffle_shard``/``doc_pack`` a shard width that
+    disagrees with the oracle's live COUNT(*) (ADVICE r5)."""
+    newest, total = 0, 0
+    for f in files:
+        st = os.stat(f)
+        newest = max(newest, st.st_mtime_ns)
+        total += st.st_size
+    return newest, total
+
+
 @lru_cache(maxsize=256)
-def parquet_rows(path: str) -> int:
-    """Exact row count from parquet footers. Cached: the graded
-    testdata tables are immutable for the life of a run."""
+def _parquet_rows_cached(files: tuple[str, ...], sig: tuple[int, int]) -> int:
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-@lru_cache(maxsize=256)
+def parquet_rows(path: str) -> int:
+    """Exact row count from parquet footers. The footer reads are
+    cached keyed by (file list, stat signature); the listing + stat
+    scan reruns per call so a rewritten path never serves a stale
+    count."""
+    files = tuple(_parquet_files(path))
+    return _parquet_rows_cached(files, _stat_sig(files))
+
+
 def _total_bytes_and_files(path: str) -> tuple[int, int]:
+    # pure stat scan — computing a cache signature would cost exactly
+    # the answer, so this is deliberately uncached
     files = _parquet_files(path)
     return sum(os.stat(f).st_size for f in files), len(files)
 

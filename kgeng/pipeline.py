@@ -143,6 +143,16 @@ class Pipeline:
         dims = build_link_dims(dictionary)
         total = 0
         for name in LINK_DIM_TABLES:
+            prior = priors[name]
+            if prior is not None:
+                # all-or-nothing resume would re-commit the already
+                # committed tables — under an Iceberg backend, whose
+                # commit IS the data append, that duplicates rows
+                # (ADVICE r5). The priors dict has the per-table
+                # answer; skip per table.
+                total += prior["row_count"]
+                continue
+            t_table = time.time()
             df = dims[name]
             dim_path = f"{out_path}/{name}"
             write_partitioned(df, dim_path)
@@ -153,7 +163,10 @@ class Pipeline:
                 fp,
                 n,
                 dim_path,
-                metrics={"rows": n, "seconds": round(time.time() - t0, 3)},
+                # per-table seconds start at THIS table's build, not the
+                # stage start (ADVICE r5: the 4th table's lineage metric
+                # was absorbing the first three tables' wall time)
+                metrics={"rows": n, "seconds": round(time.time() - t_table, 3)},
                 df=df,
             )
         m = {"rows": total, "seconds": round(time.time() - t0, 3)}
@@ -224,6 +237,40 @@ class Pipeline:
         dictionary = self.spark.read.parquet(self.dict_path)
         cmap = F.broadcast(self._read(cmap_path))
 
+        # Each output resumes independently (ADVICE r5): a crash after
+        # the edges commit but before nodes must not re-commit edges —
+        # under an Iceberg backend the commit IS the append, so a
+        # re-run would duplicate every edge row.
+        edges = None
+        if prior_e is None:
+            edges = self._build_edges(triples)
+            write_partitioned(edges, edges_out, partition_by=["predicate"])
+        nodes = None
+        if prior_n is None:
+            nodes = self._build_nodes(triples, dictionary, cmap)
+            write_partitioned(nodes, nodes_out, partition_by=["node_class"])
+
+        n_nodes = prior_n["row_count"] if prior_n else _parquet_rows(nodes_out)
+        n_edges = prior_e["row_count"] if prior_e else _parquet_rows(edges_out)
+        if prior_n is None:
+            # PRIMARY KEY analogue: id-uniqueness audit (SURVEY.md §2.9)
+            nodes_df = self._read(nodes_out)
+            dup_ids = nodes_df.groupBy("id").count().filter(F.col("count") > 1).count()
+            if dup_ids:
+                raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
+        m = {"nodes": n_nodes, "edges": n_edges, "seconds": round(time.time() - t0, 3)}
+        if prior_n is None:
+            self.log.commit(
+                "materialize.nodes", fp, n_nodes, nodes_out, metrics=m, df=nodes
+            )
+        if prior_e is None:
+            self.log.commit(
+                "materialize.edges", fp, n_edges, edges_out, metrics=m, df=edges
+            )
+        self.metrics["materialize"] = {"skipped": False, **m}
+        return nodes_out, edges_out
+
+    def _build_edges(self, triples: DataFrame) -> DataFrame:
         # -- edges: two-phase salted aggregation over the hub-skewed key.
         # publications are capped to the MAX_PUBLICATIONS smallest urls
         # in BOTH phases: the global smallest-10 are always among each
@@ -239,7 +286,7 @@ class Pipeline:
             F.slice(F.array_sort(F.collect_set("url")), 1, MAX_PUBLICATIONS).alias("urls"),
             F.count("*").alias("n"),
         )
-        edges = (
+        return (
             partial.groupBy("subject", "predicate", "object")
             .agg(
                 F.slice(
@@ -261,8 +308,10 @@ class Pipeline:
                 ).alias("properties"),
             )
         )
-        write_partitioned(edges, edges_out, partition_by=["predicate"])
 
+    def _build_nodes(
+        self, triples: DataFrame, dictionary: DataFrame, cmap: DataFrame
+    ) -> DataFrame:
         # -- nodes: canonical entities referenced by any edge
         referenced = (
             triples.select(F.col("subject").alias("id"))
@@ -286,7 +335,7 @@ class Pipeline:
             ),
             F.count("*").alias("n_members"),
         )
-        nodes = (
+        return (
             grouped.join(referenced, "id", "left_semi")
             .select(
                 "id",
@@ -299,23 +348,6 @@ class Pipeline:
             )
             .withColumn("node_class", F.get(F.col("category"), 0))
         )
-        write_partitioned(nodes, nodes_out, partition_by=["node_class"])
-
-        n_nodes, n_edges = _parquet_rows(nodes_out), _parquet_rows(edges_out)
-        # PRIMARY KEY analogue: id-uniqueness audit (SURVEY.md §2.9)
-        nodes_df = self._read(nodes_out)
-        dup_ids = nodes_df.groupBy("id").count().filter(F.col("count") > 1).count()
-        if dup_ids:
-            raise RuntimeError(f"node id uniqueness violated: {dup_ids} duplicate ids")
-        m = {"nodes": n_nodes, "edges": n_edges, "seconds": round(time.time() - t0, 3)}
-        self.log.commit(
-            "materialize.nodes", fp, n_nodes, nodes_out, metrics=m, df=nodes
-        )
-        self.log.commit(
-            "materialize.edges", fp, n_edges, edges_out, metrics=m, df=edges
-        )
-        self.metrics["materialize"] = {"skipped": False, **m}
-        return nodes_out, edges_out
 
     # -- driver ---------------------------------------------------------
     def run(self) -> dict:
