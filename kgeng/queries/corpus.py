@@ -613,6 +613,70 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── iterative graph analytics ────────────────────────────────────────
+PAGERANK_ITERS = 3
+PAGERANK_TOPK = 20
+PAGERANK_SCALE = 1_000_000  # rank unit: micro-rank integers
+PAGERANK_BASE = 150_000  # (1 - 0.85) * SCALE, exact in integers
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the derived KG (the graph-
+    analytics read the reference's property-graph targets serve via
+    Cypher extensions; no reference twin — LLM/KG-pipeline surface).
+    All arithmetic is INTEGER micro-ranks (damping 0.85 applied as
+    ``(85 * x) div 100``), so partial-aggregation order, engine float
+    summation, and libm cannot diverge: both engines produce
+    bit-identical ranks. Dangling-node mass is dropped (the simplified
+    textbook variant) — identically on both sides.
+
+    Scale shape: the edge list is projected to (subject, object) and
+    localCheckpointed ONCE (the kg_build_audit lineage-reuse medicine —
+    each of the 3 iterations + the degree/node builds would otherwise
+    re-execute the 7-branch union per reference, CLAUDE.md). Each
+    iteration is one shuffle join on subject plus one map-side-combined
+    sum on object — hub in-degree skew collapses in the partial
+    aggregate, AQE skew-join backstops the join. On a cluster the
+    checkpoint is a persisted/bucketed edge table reused across
+    iterations."""
+    e = (
+        kg_edges(spark, sf_dir)
+        .select("subject", "object")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("subject").alias("id"))
+        .unionByName(e.select(F.col("object").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("subject").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "subject"), "subject")
+            .join(outdeg, "subject")
+            .select(
+                F.col("object").alias("id"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(PAGERANK_BASE)
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).cast("long").alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("id").asc())
+        .limit(PAGERANK_TOPK)
+        .select("id", F.col("r").alias("rank_micro"))
+    )
+
+
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
@@ -626,11 +690,13 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_mix_weights,
     doc_oov_rate,
     doc_pack,
+    doc_pack_stats,
     doc_pii_scrub,
     doc_quality,
     doc_repetition,
     doc_shuffle_shard,
     doc_split,
+    doc_tfidf_top_terms,
     doc_token_stats,
     doc_top_ngrams,
 )
@@ -657,7 +723,6 @@ from kgeng.textops.similarity import (  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data ops (documents / embeddings / events)
-    "doc_token_stats": doc_token_stats,
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -703,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_degree0_audit": kg_degree0_audit,
     "kg_detach_delete_audit": kg_detach_delete_audit,
     "kg_reorder_audit": kg_reorder_audit,
+    "kg_pagerank": kg_pagerank,
     "q_pricing_summary": q_pricing_summary,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_events_asof": q_events_asof,
@@ -717,8 +783,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kg_one_hop; q_order_priority_counts: semi-join+group ⊂
     # kg_duplicate_names/q_pricing_summary). They stay registered —
     # bench + local oracle tests still cover them — but losing their
-    # driver row loses no operator. Gate: tests/test_queries_oracle.py::
+    # driver row loses no operator. Round 6: doc_token_stats joins the
+    # tail (columns ⊂ doc_bpe_tokens + doc_quality — demoted to grade
+    # kg_pagerank, a whole new operator, in its slot) along with the
+    # round-6 additions that arrived after the window filled
+    # (doc_tfidf_top_terms, doc_pack_stats); all tail entries remain
+    # verified type-strict by the local oracle harness at sf0.001 AND
+    # sf0.01 every test run. Gate: tests/test_queries_oracle.py::
     # test_registry_fits_driver_grade_cap.
+    "doc_token_stats": doc_token_stats,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_pack_stats": doc_pack_stats,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -728,4 +803,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (head of the dict, insertion order). Keep every unique-operator query
 # above the tail marker so CORRECTNESS_r{N} carries a row for it.
 DRIVER_GRADE_CAP = 50
-TAIL_UNGRADED = ("q_revenue_by_nation", "q_events_daily", "q_order_priority_counts")
+TAIL_UNGRADED = (
+    "doc_token_stats",
+    "doc_tfidf_top_terms",
+    "doc_pack_stats",
+    "q_revenue_by_nation",
+    "q_events_daily",
+    "q_order_priority_counts",
+)

@@ -341,3 +341,62 @@ def test_mix_weights_broadcasts_the_scalar_total(spark):
     plan = doc_mix_weights(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_is_topk_checkpointed_and_partial_aggregated(spark):
+    """kg_pagerank scale gates: the final top-K must be
+    TakeOrderedAndProject (never a global sort of the node set); the
+    7-branch edge union must be checkpointed so the 3 iterations reuse
+    ONE materialization (ExistingRDD scans) instead of re-executing
+    the union per reference (the CLAUDE.md lineage trap); every
+    per-iteration contribution sum must be partial-aggregated so hub
+    in-degree skew collapses map-side before the shuffle."""
+    from kgeng.queries.corpus import PAGERANK_ITERS, kg_pagerank
+
+    plan = kg_pagerank(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan  # checkpointed edges/nodes
+    partial_sums = sum(
+        "partial_sum" in l or ("HashAggregate" in l and "partial" in l)
+        for l in plan.splitlines()
+    )
+    assert partial_sums >= PAGERANK_ITERS, plan
+
+
+def test_tfidf_single_corpus_pass_and_per_doc_window(spark):
+    """doc_tfidf_top_terms: the per-(doc, term) aggregate is
+    checkpointed and feeds BOTH the df aggregate and the scoring join —
+    the corpus parquet must appear at most once in the plan (zero when
+    the checkpoint placeholder replaces it), and the only window
+    partitions on doc_id (bounded by a document's own distinct terms —
+    never a hot global key)."""
+    from kgeng.textops.analysis import doc_tfidf_top_terms
+
+    plan = doc_tfidf_top_terms(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "ExistingRDD" in plan, plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("doc_id" in s for s in specs), specs
+
+
+def test_pack_stats_is_one_bounded_aggregate(spark):
+    """doc_pack_stats: one map-side-combined groupBy on the derived-
+    width hash-uniform shard key — no window, no join, output is
+    shard-count-sized."""
+    import re
+
+    from kgeng.io.scanmeta import parquet_rows
+    from kgeng.textops.analysis import doc_pack_stats, shard_nibbles_for
+
+    w = shard_nibbles_for(parquet_rows(f"{SF_DIR}/documents.parquet"))
+    df = doc_pack_stats(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    # derived width is wired in (optimized plan keeps readable exprs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(rf"substring\(.*, 1, {w}\) AS shard", opt), opt
+    assert any(
+        "HashAggregate" in l and "partial" in l for l in plan.splitlines()
+    ), plan
