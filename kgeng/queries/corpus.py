@@ -613,6 +613,35 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution audit over the derived KG: per node class,
+    how many nodes fall into each log16 total-degree bucket (bucket =
+    hex-digit count of the degree — the integer-exact log both engines
+    share, the `_hex_digits` family). The standard power-law /
+    hub-detection audit a KG build runs before deciding skew handling.
+
+    Scale shape: two map-side-combined aggregations (per-node degree,
+    then bucket counts) plus one equi-join of two node-sized tables on
+    id (shuffle join, AQE-backstopped — the node table is never a
+    broadcast side, per the repo's node-broadcast rule); per-node
+    degree is a partial-aggregated count, so a hub node's edges
+    collapse map-side; output is (classes × ~16 buckets) rows."""
+    edges = kg_edges(spark, sf_dir)
+    nodes = kg_nodes(spark, sf_dir)
+    endpoints = edges.select(F.col("subject").alias("id")).unionByName(
+        edges.select(F.col("object").alias("id"))
+    )
+    deg = endpoints.groupBy("id").agg(F.count("*").alias("degree"))
+    lookup = node_class_lookup(nodes)
+    bucket = F.length(F.conv(F.col("degree").cast("string"), 10, 16))
+    return (
+        deg.join(lookup, "id")
+        .select("node_class", bucket.cast("int").alias("degree_bucket"))
+        .groupBy("node_class", "degree_bucket")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 # ── iterative graph analytics ────────────────────────────────────────
 PAGERANK_ITERS = 3
 PAGERANK_TOPK = 20
@@ -794,6 +823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": doc_token_stats,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_pack_stats": doc_pack_stats,
+    "kg_degree_distribution": kg_degree_distribution,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -807,6 +837,7 @@ TAIL_UNGRADED = (
     "doc_token_stats",
     "doc_tfidf_top_terms",
     "doc_pack_stats",
+    "kg_degree_distribution",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

@@ -990,6 +990,20 @@ ORACLES: dict[str, str] = {
                         WHERE list_contains(category, 'biolink:InformationContentEntity'))
     GROUP BY e.object
     """,
+    "kg_degree_distribution": KG_PRELUDE
+    + """,
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT subject AS id FROM edges
+        UNION ALL SELECT object FROM edges
+      ) GROUP BY id
+    )
+    SELECT n.category_reordered[1] AS node_class,
+           CAST(length(printf('%x', degree)) AS INT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg d JOIN nodes n USING (id)
+    GROUP BY 1, 2
+    """,
     "kg_pagerank": KG_PRELUDE
     + """,
     e AS (SELECT subject AS s, object AS o FROM edges),

@@ -224,6 +224,67 @@ def streaming_dedup_events(
     )
 
 
+ATTRIB_WINDOW_HOURS = 1
+
+
+def streaming_click_attribution(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the incremental twin
+    of the batch ``q_events_attrib``: every purchase joined to the
+    same user's clicks in the preceding ATTRIB_WINDOW_HOURS. Both
+    sides carry watermarks and the join condition carries the time
+    range, so Spark bounds each side's state buffer to the watermark
+    horizon (the unbounded-state trap of naive stream joins) and can
+    drop rows that can no longer match. Inner join: matches emit as
+    soon as both sides arrive; state expires as the watermark passes.
+
+    Scale shape: the state store is keyed by the equi-column
+    (user_id); per-key buffered rows are bounded by rate × horizon.
+    A whale user bounds at its own event rate within the window — the
+    same per-(user, hour) bound as the batch twin's bucketed join."""
+    schema = spark.read.parquet(events_dir).schema
+
+    def src() -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOUR")
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap > 30 min starts a new session;
     per-user session count and mean session length (rows)."""

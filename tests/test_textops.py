@@ -550,3 +550,60 @@ def test_streaming_sessions_match_batch(spark):
     for r in emitted:
         key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         assert key in batch, key
+
+
+def test_streaming_click_attribution_matches_batch_join(spark):
+    """The watermarked stream-stream interval join must emit exactly
+    the rows the batch range join produces on the same finite input —
+    (click, purchase) pairs per user within the attribution window."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from kgeng.streaming.events import (
+        ATTRIB_WINDOW_HOURS,
+        streaming_click_attribution,
+    )
+
+    stream_dir = "/root/repo/.fixtures/stream_events_attrib"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{stream_dir}/events.parquet")
+    q = (
+        streaming_click_attribution(spark, stream_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOUR")
+            ),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
