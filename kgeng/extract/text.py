@@ -148,6 +148,11 @@ _UNQUOTED_VAL_AT_END = re.compile(r"[^\s=/>\"']+\s*=\s*[^\s>'\"][^\s>]*$")
 # '</', name charset restricted vs start tags; non-matching '</...' is
 # a bogus comment
 _END_TAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# html.parser's TOLERANT end-tag fallback (tagfind_tolerant): when the
+# strict grammar fails but a name starts right at '</', the junk
+# between the name and the next '>' is swallowed and the end tag STILL
+# fires — `</p </p>` closes p once (fuzz catch, r6)
+_END_TAG_TOLERANT = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 
 _CDATA_CLOSE = {
     "script": re.compile(r"</script[^>]*>", re.I),
@@ -225,18 +230,28 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             i = gt + 1
             continue
         if nxt == "/":
-            # end tags have their own (stricter) grammar in html.parser:
-            # optional whitespace after '</', restricted name charset;
-            # anything else is a BOGUS COMMENT swallowed through the
-            # next '>' — which can eat a following real end tag, exactly
-            # like the reference (differential-fuzzed)
+            # end tags: strict grammar first; then html.parser's
+            # tolerant path (name right at '</' + junk swallowed to the
+            # next '>', end tag still fired); then bogus comment
+            # swallowed through the next '>'. An incomplete '</...'
+            # with no '>' before EOF is DATA in html.parser (the
+            # goahead end-of-feed path), not silently dropped.
             em = _END_TAG.match(doc, lt)
-            if not em:
-                gt = find(">", lt + 2)
-                i = n if gt == -1 else gt + 1
-                continue
-            name = em.group(1).lower()
-            i = em.end()
+            if em:
+                name = em.group(1).lower()
+                i = em.end()
+            else:
+                tm = _END_TAG_TOLERANT.match(doc, lt)
+                gt = find(">", tm.end() if tm else lt + 2)
+                if gt == -1:
+                    if p_depth and not skip_depth:
+                        buf.append(unescape(doc[lt:]))
+                    break
+                if not tm:
+                    i = gt + 1
+                    continue
+                name = tm.group(1).lower()
+                i = gt + 1
             if name in _SKIP_SUBTREE:
                 if skip_depth:
                     skip_depth -= 1
