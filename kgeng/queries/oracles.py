@@ -14,6 +14,13 @@ parquet files Spark reads.
 
 from __future__ import annotations
 
+from kgeng.queries.corpus import (
+    PAGERANK_BASE as _PR_BASE,
+    PAGERANK_ITERS as _PR_ITERS,
+    PAGERANK_SCALE as _PR_SCALE,
+    PAGERANK_TOPK as _PR_TOPK,
+)
+
 # Shared KG derivation (mirrors kgeng.graph.kgview, with the reordered
 # category computed independently).
 KG_PRELUDE = """
@@ -1004,28 +1011,32 @@ ORACLES: dict[str, str] = {
     FROM deg d JOIN nodes n USING (id)
     GROUP BY 1, 2
     """,
+    # iteration count / K / integer rank units come from the Spark
+    # side's constants (config, not semantics — the arithmetic below is
+    # still an independent derivation); a corpus.py retune can no
+    # longer silently desync the twin
     "kg_pagerank": KG_PRELUDE
-    + """,
+    + f""",
     e AS (SELECT subject AS s, object AS o FROM edges),
     outd AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
     n AS (SELECT DISTINCT id FROM
           (SELECT s AS id FROM e UNION ALL SELECT o FROM e)),
-    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+    r0 AS (SELECT id, CAST({_PR_SCALE} AS BIGINT) AS r FROM n),
     """
     + ",\n    ".join(
         f"""r{i + 1} AS (
       SELECT n.id,
-             CAST(150000 + (85 * COALESCE(c.sm, 0)) // 100 AS BIGINT) AS r
+             CAST({_PR_BASE} + (85 * COALESCE(c.sm, 0)) // 100 AS BIGINT) AS r
       FROM n LEFT JOIN (
         SELECT e.o AS id, CAST(SUM(r.r // outd.d) AS BIGINT) AS sm
         FROM e JOIN r{i} r ON e.s = r.id JOIN outd ON e.s = outd.s
         GROUP BY e.o
       ) c ON n.id = c.id)"""
-        for i in range(3)
+        for i in range(_PR_ITERS)
     )
-    + """
-    SELECT id, r AS rank_micro FROM r3
-    ORDER BY r DESC, id ASC LIMIT 20
+    + f"""
+    SELECT id, r AS rank_micro FROM r{_PR_ITERS}
+    ORDER BY r DESC, id ASC LIMIT {_PR_TOPK}
     """,
     "kg_build_audit": KG_PRELUDE
     + """
