@@ -125,3 +125,74 @@ def test_resume_recomputes_on_input_change(spark, inputs):
     fixtures.write_pages(smaller, 300)
     r2 = run_pipeline(spark, smaller, dic, out)
     assert not r2["metrics"]["extract_text"]["skipped"]
+
+
+def test_materialize_resumes_per_table(spark, inputs, pipeline_out):
+    """Crash between the edges commit and the nodes commit (the exact
+    Iceberg duplicate-append scenario, ADVICE r5): on resume the edges
+    table must NOT be re-committed — under an Iceberg backend the
+    commit IS the append — while nodes rebuild normally."""
+    from kgeng.pipeline import Pipeline
+
+    pages, dic = inputs
+    out = os.path.join(FIX_DIR, "kg_out")
+    p = Pipeline(spark, pages, dic, out)
+    canon_path = f"{out}/canon"
+    cmap_path = f"{out}/canon_map"
+    from kgeng.io.lineage import fingerprint_paths
+
+    fp = fingerprint_paths(canon_path, dic, extra="materialize")
+    nodes_rec = p.log._path("materialize.nodes", fp)
+    edges_rec = p.log._path("materialize.edges", fp)
+    assert os.path.exists(nodes_rec) and os.path.exists(edges_rec)
+    n_nodes_before = spark.read.parquet(f"{out}/nodes").count()
+    # simulate the crash: nodes commit (and output) lost, edges kept
+    os.remove(nodes_rec)
+    shutil.rmtree(f"{out}/nodes")
+    with open(edges_rec, encoding="utf-8") as fh:
+        edges_rec_before = fh.read()
+    edges_data_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(f"{out}/edges") for f in fs
+    )
+    nodes_out, edges_out = p.stage_materialize(canon_path, cmap_path)
+    assert not p.metrics["materialize"]["skipped"]
+    # nodes rebuilt with the same content; commit record restored
+    assert spark.read.parquet(nodes_out).count() == n_nodes_before
+    assert os.path.exists(nodes_rec)
+    # edges NOT re-committed and NOT rewritten
+    with open(edges_rec, encoding="utf-8") as fh:
+        assert fh.read() == edges_rec_before
+    assert max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(edges_out) for f in fs
+    ) == edges_data_mtime
+
+
+def test_link_dims_resumes_per_table(spark, inputs, pipeline_out):
+    """Same per-table contract for the 4 linking dim tables: losing
+    one table's commit rebuilds only that table."""
+    from kgeng.io.lineage import fingerprint_paths
+    from kgeng.pipeline import LINK_DIM_TABLES, Pipeline
+
+    pages, dic = inputs
+    out = os.path.join(FIX_DIR, "kg_out")
+    p = Pipeline(spark, pages, dic, out)
+    fp = fingerprint_paths(dic, extra="link_dims")
+    recs = {n: p.log._path(f"link_dims.{n}", fp) for n in LINK_DIM_TABLES}
+    assert all(os.path.exists(r) for r in recs.values())
+    total_before = sum(
+        p.log.committed(f"link_dims.{n}", fp)["row_count"] for n in LINK_DIM_TABLES
+    )
+    victim = "idf"
+    os.remove(recs[victim])
+    shutil.rmtree(f"{out}/link_dims/{victim}")
+    kept = {n: open(recs[n], encoding="utf-8").read()
+            for n in LINK_DIM_TABLES if n != victim}
+    p.stage_link_dims()
+    assert not p.metrics["link_dims"]["skipped"]
+    assert p.metrics["link_dims"]["rows"] == total_before
+    assert os.path.exists(recs[victim])
+    for n, before in kept.items():
+        with open(recs[n], encoding="utf-8") as fh:
+            assert fh.read() == before, n
