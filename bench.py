@@ -210,6 +210,17 @@ DETAIL_PATH = os.path.join(REPO, "bench_out", "bench.json")
 FLOORS_PATH = os.path.join(REPO, "bench_out", "floors.json")
 
 
+def _sf_key(sf) -> str:
+    """One canonical floors.json key per SF: float-normalized when the
+    suffix parses ('1' and '1.0' must hit the same bucket — a writer
+    keyed by str(float) and a reader keyed by the raw path suffix would
+    otherwise never see each other's floors), raw string otherwise."""
+    try:
+        return str(float(sf))
+    except (TypeError, ValueError):
+        return str(sf)
+
+
 def _merge_floors(sf: str, queries: dict[str, float]) -> None:
     """Min-merge this run's per-query seconds into the per-SF floor
     file. Min-merge (never replace) keeps one all-stalled run from
@@ -219,7 +230,7 @@ def _merge_floors(sf: str, queries: dict[str, float]) -> None:
             data = json.load(fh)
     except (OSError, json.JSONDecodeError):
         data = {}
-    cur = data.setdefault(str(sf), {})
+    cur = data.setdefault(_sf_key(sf), {})
     for name, sec in queries.items():
         if isinstance(sec, (int, float)) and sec > 0:
             cur[name] = min(float(sec), cur.get(name, float(sec)))
@@ -247,13 +258,13 @@ def _stall_floors() -> dict[str, float]:
 
     try:
         with open(FLOORS_PATH, encoding="utf-8") as fh:
-            merge(json.load(fh).get(str(sf), {}))
+            merge(json.load(fh).get(_sf_key(sf), {}))
     except (OSError, json.JSONDecodeError, AttributeError):
         pass
     try:
         with open(DETAIL_PATH, encoding="utf-8") as fh:
             detail = json.load(fh)
-        if str(detail.get("sf")) == sf:
+        if _sf_key(detail.get("sf")) == _sf_key(sf):
             merge(detail.get("queries") or {})
     except (OSError, json.JSONDecodeError, AttributeError):
         pass
@@ -620,17 +631,18 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _emit_partial)
     signal.signal(signal.SIGINT, _emit_partial)
 
-    # generate BOTH corpora before timing anything (pair corpus for the
-    # scaling phases, full corpus for the absolute local[8] point + twin)
-    bench_corpus(PAIR_PAGES)
-    bench_corpus()
-
     # scaling pairs FIRST: they are the graded criterion and the
     # longest measurement. Every phase debits the one global deadline;
     # a phase that no longer fits is skipped so the suite and the
     # final line ALWAYS happen (VERDICT r4 #1).
     pipeline: dict = {}
     if not args.skip_scaling:
+        # generate BOTH corpora before timing anything (pair corpus for
+        # the scaling phases, full corpus for the absolute local[8]
+        # point + twin); only this branch consumes them — a
+        # --skip-scaling run must stay the documented fast path
+        bench_corpus(PAIR_PAGES)
+        bench_corpus()
         n_lo, n_hi = SCALE_LEVELS
         # primary pair gets everything except the suite reserve — the
         # pair is the graded criterion, so a slow window spends its
@@ -649,6 +661,27 @@ def main() -> None:
         )
         _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
+        # pure-CPU twin ADJACENT to the primary pair (~40 s, no Spark):
+        # the host's own lo→hi scaling ceiling in THIS window. Busy
+        # windows depress the Spark pair and this ceiling together
+        # (run B r6: Spark 0.733 in a window where every per-pair read
+        # was 0.72–0.79; quiet-window runs measure 0.86–1.02), so the
+        # colocation-adjusted ratio is the window-robust scaling read
+        # the single-pair graded record was missing (VERDICT r5 #2).
+        if (
+            pipeline.get("scaling_efficiency")
+            and _remaining() - SUITE_RESERVE > 120
+        ):
+            twin0 = run_cpu_twin(n_lo, n_hi)
+            pipeline[f"cpu_twin_{n_lo}_{n_hi}"] = twin0
+            if twin0.get("scaling_efficiency"):
+                pipeline[f"colocation_adjusted_eff_{n_lo}_{n_hi}"] = round(
+                    pipeline["scaling_efficiency"]
+                    / twin0["scaling_efficiency"],
+                    3,
+                )
+            _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
+
         # absolute local[8] throughput point (VERDICT r4 #3): the
         # baseline comparison number, measured on the FULL corpus.
         # Runs when it fits; estimated at 1.2× the pair's local4 time
@@ -658,12 +691,13 @@ def main() -> None:
         # estimate is still wrong the attempt is killed at the suite
         # reserve, which stays intact either way. Skipped as redundant
         # when 8 was already a pair level.
+        # NOTE: measured even when 8 is a pair level — the pair runs on
+        # the half-size PAIR_PAGES corpus, so its local8 leg is NOT the
+        # full-corpus absolute number BASELINE.md compares against
         hi_s = pipeline.get(f"local{n_hi}", {}).get("seconds")
         corpus_up = BENCH_PAGES / max(1, PAIR_PAGES)
         est8 = max(240.0, 1.2 * hi_s * corpus_up) if hi_s else 400.0
-        if 8 in SCALE_LEVELS:
-            pass  # the pair itself carries the local[8] measurement
-        elif _remaining() - SUITE_RESERVE > est8:
+        if _remaining() - SUITE_RESERVE > est8:
             m8 = pipeline_attempt(
                 8, timeout=int(min(2400, _remaining() - SUITE_RESERVE))
             )

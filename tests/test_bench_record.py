@@ -129,23 +129,36 @@ def test_every_headline_query_is_registered():
     )
 
 
-def test_headline_floor_policy():
+def test_headline_floor_policy(tmp_path, monkeypatch):
     """New HEADLINE queries need no typed EXPECT_S pin (VERDICT r5
     #5): they self-seed from their first recorded run via the per-SF
     bench_out/floors.json min-merge, with a documented 15 s bootstrap
-    threshold on the very first run. What must stay true instead:
-    every typed pin refers to a registered query (no fossil pins
-    outliving a rename), and the merged floor view yields a usable
-    threshold for every headline query."""
+    threshold on the very first run. What must stay true: every typed
+    pin refers to a registered query (no fossil pins outliving a
+    rename), every pin is a usable threshold seed, and a query with
+    only a floors.json record (no pin) gets that floor back."""
     from kgeng.queries.corpus import QUERIES
 
     assert set(bench.EXPECT_S) <= set(QUERIES), (
         set(bench.EXPECT_S) - set(QUERIES)
     )
+    for name, sec in bench.EXPECT_S.items():
+        assert 0 < sec < 900, name
+    # isolated view: with no recorded runs the merged floors are
+    # exactly the static pins (fresh-checkout bootstrap)
+    monkeypatch.setattr(bench, "FLOORS_PATH", str(tmp_path / "f.json"))
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "d.json"))
+    assert bench._stall_floors() == bench.EXPECT_S
+    # self-seeding: a pin-less query recorded once in floors.json gets
+    # its floor from there (this is the mechanism that lets EXPECT_S
+    # stop growing); the float-normalized SF key must round-trip
+    sf = bench.SF_DIR.rstrip("/").split("sf")[-1]
+    (tmp_path / "f.json").write_text(
+        json.dumps({bench._sf_key(sf): {"brand_new_query": 1.7}})
+    )
     floors = bench._stall_floors()
-    for name in bench.HEADLINE:
-        thr = max(3.0 * floors.get(name, 5.0), 2.0)
-        assert thr >= 2.0, name
+    assert floors["brand_new_query"] == 1.7
+    assert "brand_new_query" not in bench.EXPECT_S
 
 
 def test_emit_partial_prints_parseable_line():
@@ -182,6 +195,9 @@ def test_stall_floors_prefer_last_recorded_run(tmp_path, monkeypatch):
         json.dumps({"sf": float(sf), "queries": {"kg_counts": 9.9, "bogus": "x"}})
     )
     monkeypatch.setattr(bench, "DETAIL_PATH", str(detail))
+    # isolate from any real floors.json this checkout has accumulated
+    # (its sf-0.1 minima would otherwise leak into every assertion)
+    monkeypatch.setattr(bench, "FLOORS_PATH", str(tmp_path / "floors.json"))
     floors = bench._stall_floors()
     # a recorded prior ABOVE the static pin must not ratchet the floor
     # up (an all-samples-stalled prior would otherwise blind the 3x
