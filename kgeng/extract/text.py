@@ -107,42 +107,52 @@ def extract_text_py_reference(html_bytes: bytes | None) -> str | None:
     return "\n".join(p.paras)
 
 
-# Quote-aware attribute scan: '>' inside a quoted attribute VALUE must
-# not terminate the tag (html.parser parses these correctly; a bare
-# [^>]*> would truncate). Quotes are honored only in attribute
-# position — after `name=` — exactly like html.parser's tolerant attr
-# regex; a bare quote elsewhere is junk and the tag still ends at the
-# first '>' (differential-tested both ways). The attr region is an
-# atomic group so the ambiguous [^>] fallback can never backtrack into
-# a parsed quoted value (linear scan on pathological unterminated tags).
-_TAG_AT = re.compile(
-    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
-    # quoted attrs enter at a whitespace//-boundary OR directly after a
-    # previous quoted value (html.parser's lookbehind allows both); the
-    # bulk run keeps ordinary attr text on a single C-speed scan
-    r"((?>(?:[\s/]+[^\s=/>\"']+\s*=\s*\"[^\"]*\""
-    r"|[\s/]+[^\s=/>\"']+\s*=\s*'[^']*'"
-    r"|[^\s=/>\"']+\s*=\s*\"[^\"]*\""
-    r"|[^\s=/>\"']+\s*=\s*'[^']*'"
-    r"|[^>\"'\s/]+"
-    r"|[^>])*))>"
-)
-# `name='` / `name="` with NO spacing around '=' and no closing quote
-# anywhere later makes html.parser treat the tag as incomplete and
-# buffer silently to EOF (with spacing — `a ='`, `a= '` — or a doubled
-# '=', the tag just ends at the next '>'; probed matrix in the
-# differential tests). The quoted alternations in _TAG_AT consume a
-# closing quote anywhere in the document, so an unterminated tail
-# surviving in group(3) proves no closing quote exists.
-_UNTERM_QUOTE = re.compile(
-    r"(?:^|[\s/\"'])[^\s=/>\"']+=(['\"])(?:(?!\1).)*$", re.S
+# FAST start-tag path: the clean shape that dominates real pages —
+# whitespace-separated attributes, single '=', quoted or conservative
+# bare values. Every string this matches is parsed identically by
+# html.parser's tolerant grammar below (each piece is a strict subset
+# of the tolerant pieces), so name/self-closing/end can be read off
+# the groups with one C-speed match. Bare values are atomic so the
+# trailing (/?) can never steal a '/' the tolerant grammar folds INTO
+# an unquoted value (html.parser: `<a href=http://x/>` is NOT
+# self-closing). Anything else falls back to the faithful port.
+_FAST_TAG = re.compile(
+    r"<([a-zA-Z][-a-zA-Z0-9:._]*)"
+    r"((?:\s+[a-zA-Z_:@-][-a-zA-Z0-9_:.@]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?>[-a-zA-Z0-9._:/&;#%+]+)))?)*)"
+    r"\s*(/?)>"
 )
 
-# an UNQUOTED attribute value (name=value with no quote) absorbs
-# trailing '/' chars in html.parser — `<p a=b/>` and `<p a=/>` are
-# ordinary start tags, while `<p x/>`, `<p a='c'/>`, `<p =/>` are
-# self-closing (differential-fuzzed matrix)
-_UNQUOTED_VAL_AT_END = re.compile(r"[^\s=/>\"']+\s*=\s*[^\s>'\"][^\s>]*$")
+# Faithful port of html.parser's tolerant start-tag grammar (CPython
+# Lib/html/parser.py: locatestarttagend_tolerant / tagfind_tolerant /
+# attrfind_tolerant — public stdlib source; the reference kernel IS
+# html.parser, so divergence here is a correctness bug). The three
+# regexes must stay in lockstep exactly as the stdlib warns.
+_LOCATE_START = re.compile(
+    r"""<[a-zA-Z][^\t\n\r\f />\x00]*   # tag name
+  (?:[\s/]*                            # optional ws before attr name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*    # attribute name
+      (?:\s*=+\s*                      # value indicator
+        (?:'[^']*'                     # LITA-enclosed value
+          |"[^"]*"                     # LIT-enclosed value
+          |(?!['"])[^>\s]*             # bare value
+         )
+        \s*
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*""",
+    re.VERBOSE,
+)
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+# check_for_whole_start_tag: these next-chars after the locate match
+# mean "incomplete tag" — html.parser buffers, then at close() emits
+# the region through the next '>' as data (goahead end-of-feed path)
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 
 # end-tag grammar (html.parser's endtagfind): whitespace allowed after
 # '</', name charset restricted vs start tags; non-matching '</...' is
@@ -154,10 +164,19 @@ _END_TAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # fires — `</p </p>` closes p once (fuzz catch, r6)
 _END_TAG_TOLERANT = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
 
+# set_cdata_mode's `interesting` regex: ws allowed after '</' and
+# before '>', attribute junk NOT allowed (</script foo> does not end
+# the element in html.parser)
 _CDATA_CLOSE = {
-    "script": re.compile(r"</script[^>]*>", re.I),
-    "style": re.compile(r"</style[^>]*>", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
+# parse_comment closes on `--\s*>`, not the literal '-->'
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+# _markupbase marked sections: <![keyword ... ]]> (or MS-Office ]>)
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
 
 
 def extract_text_py(html_bytes: bytes | None) -> str | None:
@@ -212,11 +231,11 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
         # startswith cascade at ~800 tags/page)
         nxt = doc[lt + 1] if lt + 1 < n else ""
         if nxt == "!" and doc.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            if end != -1:
-                i = end + 3
+            end = _COMMENT_CLOSE.search(doc, lt + 4)
+            if end:
+                i = end.end()
                 continue
-            # no '-->' terminator: html.parser degrades the comment
+            # no '--\s*>' terminator: html.parser degrades the comment
             # opener to literal DATA through the next '>' inclusive
             # (so '<!-->' and '<!--->' are text, and a following real
             # end tag can be consumed) — probed matrix in the tests
@@ -224,6 +243,34 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             if gt == -1:
                 if p_depth and not skip_depth:
                     buf.append(unescape(doc[lt:]))
+                break
+            if p_depth and not skip_depth:
+                buf.append(unescape(doc[lt : gt + 1]))
+            i = gt + 1
+            continue
+        if nxt == "!" and doc.startswith("<![", lt):
+            # marked section (_markupbase.parse_marked_section): known
+            # keywords scan to ']]>' (']>' for the MS-Office trio); an
+            # unknown or missing keyword raises in html.parser, which
+            # the reference kernel's guard turns into truncate-here
+            nm = _DECLNAME.match(doc, lt + 3)
+            if not nm or nm.end() == n:
+                break
+            sect = nm.group().strip().lower()
+            if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+                cm = _MARKED_CLOSE.search(doc, lt + 3)
+            elif sect in ("if", "else", "endif"):
+                cm = _MS_MARKED_CLOSE.search(doc, lt + 3)
+            else:
+                break
+            if cm:
+                i = cm.end()
+                continue
+            # unterminated: close()-time recovery emits through the
+            # next '>' as data; with no '>' at all nothing downstream
+            # can ever close a paragraph, so stop
+            gt = find(">", lt + 1)
+            if gt == -1:
                 break
             if p_depth and not skip_depth:
                 buf.append(unescape(doc[lt : gt + 1]))
@@ -267,29 +314,61 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             gt = find(">", lt)
             i = n if gt == -1 else gt + 1
             continue
-        m = _TAG_AT.match(doc, lt)
-        if not m:
-            # stray '<'
+        if not ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
+            # stray '<' (goahead: handle_data("<"), resume after it)
             if p_depth and not skip_depth:
                 buf.append("<")
             i = lt + 1
             continue
-        name = m.group(2).lower()
-        attrs = m.group(3)
-        # unterminated name=" / name=' (swallow-to-EOF) is only
-        # possible when the LAST =q occurrence has no q after it —
-        # C-speed precheck keeps the regex off the hot path
-        k = attrs.rfind('="')
-        if k != -1 and attrs.find('"', k + 2) == -1 and _UNTERM_QUOTE.search(attrs):
-            break  # incomplete tag: buffered silently to EOF
-        k = attrs.rfind("='")
-        if k != -1 and attrs.find("'", k + 2) == -1 and _UNTERM_QUOTE.search(attrs):
-            break
-        # '/' before '>' OUTSIDE quotes (group 3 ends the attr region;
-        # group(0).endswith('/>') would misread <p class="a/">) and
-        # not absorbed into an unquoted attribute value
-        self_closing = attrs.endswith("/") and not _UNQUOTED_VAL_AT_END.search(attrs)
-        i = m.end()
+        fm = _FAST_TAG.match(doc, lt)
+        if fm:
+            name = fm.group(1).lower()
+            self_closing = fm.group(3) == "/"
+            i = fm.end()
+        else:
+            # faithful parse_starttag / check_for_whole_start_tag port
+            m = _LOCATE_START.match(doc, lt)  # can't fail: '<'+letter
+            j = m.end()
+            nxt2 = doc[j : j + 1]
+            if nxt2 == ">":
+                endpos = j + 1
+            elif nxt2 == "/":
+                endpos = j + 2 if doc.startswith("/>", j) else -1
+            elif nxt2 == "" or nxt2 in _INCOMPLETE_NEXT:
+                endpos = -1
+            else:
+                endpos = j  # tag region with no '>': junk-checked below
+            if endpos < 0:
+                # incomplete tag: close()-time goahead emits the region
+                # through the next '>' as DATA and resumes; with no '>'
+                # at all no paragraph can ever close downstream
+                gt = find(">", lt + 1)
+                if gt == -1:
+                    break
+                if p_depth and not skip_depth:
+                    buf.append(unescape(doc[lt : gt + 1]))
+                i = gt + 1
+                continue
+            tm = _TAGFIND.match(doc, lt + 1)
+            name = tm.group(1).lower()
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(doc, k)
+                if not am:
+                    break
+                k = am.end()
+            endtxt = doc[k:endpos].strip()
+            if endtxt not in (">", "/>"):
+                # attr junk the tolerant grammar skipped but attrfind
+                # can't parse: parse_starttag degrades the WHOLE tag
+                # region to data — RAW, not unescaped (handle_data is
+                # called directly, bypassing convert_charrefs)
+                if p_depth and not skip_depth:
+                    buf.append(doc[lt:endpos])
+                i = endpos
+                continue
+            self_closing = endtxt == "/>"
+            i = endpos
         if name in _CDATA_CLOSE and not self_closing:
             close = _CDATA_CLOSE[name].search(doc, i)
             i = n if close is None else close.end()

