@@ -311,7 +311,16 @@ def _fit_line(record: dict) -> str:
     return line
 
 
+# pid of the process that registered the signal handlers: forked
+# children (multiprocessing pool workers — Pool.terminate() SIGTERMs
+# them as a matter of course) inherit the handler and must NOT print
+# a partial record onto the graded stdout
+_MAIN_PID = os.getpid()
+
+
 def _emit_partial(signum, frame):
+    if os.getpid() != _MAIN_PID:
+        os._exit(1)
     rec = dict(_PARTIAL) if _PARTIAL else {
         "metric": "headline_suite_seconds", "unit": "sec"
     }
@@ -606,7 +615,36 @@ def _compact_pipeline(pipeline: dict) -> dict:
     return out
 
 
+def _safe_twin(n_lo: int, n_hi: int) -> dict:
+    """run_cpu_twin, but a failure (pool spawn, OOM, parquet read) is
+    an empty enrichment — never the death of the graded record. The
+    twin runs IN-process, unlike the rc-checked pipeline subprocesses,
+    so it is the one scaling phase that could otherwise take the whole
+    bench down with it."""
+    try:
+        return run_cpu_twin(n_lo, n_hi)
+    except Exception as exc:  # noqa: BLE001 — enrichment, not criterion
+        print(f"[bench] cpu twin failed: {exc!r}", file=sys.stderr, flush=True)
+        return {}
+
+
 def main() -> None:
+    try:
+        _main()
+    except SystemExit:
+        raise
+    except Exception:
+        # ANY unexpected exception: the partial-but-valid JSON line
+        # still prints (same guarantee the SIGTERM handler gives a
+        # driver-side kill — r3/r4 lost their graded records to runs
+        # that died lineless)
+        import traceback
+
+        traceback.print_exc()
+        _emit_partial("exception", None)
+
+
+def _main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-run", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
@@ -672,8 +710,9 @@ def main() -> None:
             pipeline.get("scaling_efficiency")
             and _remaining() - SUITE_RESERVE > 120
         ):
-            twin0 = run_cpu_twin(n_lo, n_hi)
-            pipeline[f"cpu_twin_{n_lo}_{n_hi}"] = twin0
+            twin0 = _safe_twin(n_lo, n_hi)
+            if twin0:
+                pipeline[f"cpu_twin_{n_lo}_{n_hi}"] = twin0
             if twin0.get("scaling_efficiency"):
                 pipeline[f"colocation_adjusted_eff_{n_lo}_{n_hi}"] = round(
                     pipeline["scaling_efficiency"]
@@ -722,9 +761,10 @@ def main() -> None:
                     budget=int(_remaining() - SUITE_RESERVE - 150),
                 )
                 pipeline[f"pair_{s_lo}_{s_hi}"] = pair2
-                twin = run_cpu_twin(s_lo, s_hi)
-                pipeline[f"cpu_twin_{s_lo}_{s_hi}"] = twin
-                if "scaling_efficiency" in pair2 and twin["scaling_efficiency"]:
+                twin = _safe_twin(s_lo, s_hi)
+                if twin:
+                    pipeline[f"cpu_twin_{s_lo}_{s_hi}"] = twin
+                if "scaling_efficiency" in pair2 and twin.get("scaling_efficiency"):
                     # Spark-pair efficiency with the host's own pure-CPU
                     # ceiling at these process counts divided out: what
                     # the JOB scales at once the co-location artifact

@@ -221,3 +221,56 @@ def test_stall_floors_prefer_last_recorded_run(tmp_path, monkeypatch):
     # unreadable detail file: static table only
     monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "missing.json"))
     assert bench._stall_floors() == bench.EXPECT_S
+
+
+def test_main_emits_line_on_unexpected_exception():
+    """An in-process phase raising (e.g. the cpu twin's pool) must
+    degrade like a kill signal: one parseable truncated line, rc 1 —
+    never a lineless death (the r3/r4 graded-record failure mode)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import bench\n"
+        "bench._PARTIAL.update({'metric': 'headline_suite_seconds',"
+        " 'unit': 'sec', 'queries': {'kg_counts': 1.25}, 'sf': 0.1,"
+        " 'pipeline': {}, 'detail': 'x'})\n"
+        "def boom(): raise RuntimeError('phase died')\n"
+        "bench._main = boom\n"
+        "bench.main()\n"
+        "raise SystemExit('unreachable')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert r.returncode == 1
+    line = r.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["truncated"] is True and rec["queries"] == {"kg_counts": 1.25}
+    assert "phase died" in r.stderr
+
+
+def test_emit_partial_is_silent_in_forked_children():
+    """multiprocessing Pool.terminate() SIGTERMs its (forked) workers,
+    which inherit the handler: a worker must exit silently, never
+    print a partial record onto the graded stdout (observed r6: the
+    cpu-twin pool teardown printed a spurious truncated line)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import bench, os\n"
+        "bench._MAIN_PID = os.getpid() + 1\n"  # simulate a fork child
+        "bench._PARTIAL.update({'queries': {'kg_counts': 1.0}})\n"
+        "bench._emit_partial(15, None)\n"
+        "raise SystemExit('unreachable')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert r.returncode == 1
+    assert r.stdout.strip() == ""

@@ -119,9 +119,9 @@ def test_scanner_matches_reference_parser():
         b'<p title="a>b">gtattr</p>',
         b"<p><a href='x>y'>link</a> tail</p>",
         b'<p><img alt="1>2"/>imgtail</p>',
-        # ...but quotes OUTSIDE name="value" position are junk and the
-        # tag ends at the first '>' (html.parser honors quotes only
-        # after an attribute name + '=')
+        # ...quotes OUTSIDE name="value" position follow html.parser's
+        # tolerant grammar (attr-junk tags may degrade to data; the
+        # scanner ports that control flow exactly)
         b'<p =">">eqquote</p>',
         b'<p "bare>quoted">bare</p>',
         b"<p data-x='ok' \">trail</p>",
@@ -187,3 +187,33 @@ def test_gzip_payload_transparent_decompress():
         assert extract_text_py_reference(gz) == fixtures.page_text(i, mult=2)
     # non-gzip bytes that happen to start ambiguously stay raw
     assert extract_text_py(b"\x1f\x8bnot really gzip <p>x</p>") is not None
+
+
+def test_scanner_grammar_is_in_lockstep_with_stdlib():
+    """The fast scanner's tag grammar is a port of html.parser's
+    tolerant regexes (the reference kernel IS html.parser, so the two
+    must move together). Assert byte-identical patterns so a CPython
+    upgrade that changes the tolerant grammar fails THIS test loudly
+    instead of surfacing as a probabilistic differential-fuzz flake."""
+    import html.parser as hp
+    import inspect
+    import re as _re
+
+    import _markupbase
+
+    from kgeng.extract import text as tx
+
+    assert tx._TAGFIND.pattern == hp.tagfind_tolerant.pattern
+    assert tx._ATTRFIND.pattern == hp.attrfind_tolerant.pattern
+    assert tx._END_TAG.pattern == hp.endtagfind.pattern
+    assert tx._COMMENT_CLOSE.pattern == hp.commentclose.pattern
+    assert tx._MARKED_CLOSE.pattern == _markupbase._markedsectionclose.pattern
+    assert tx._MS_MARKED_CLOSE.pattern == _markupbase._msmarkedsectionclose.pattern
+    # verbose pattern: compare modulo whitespace and comments
+    strip = lambda p: _re.sub(r"#[^\n]*|\s+", "", p)
+    assert strip(tx._LOCATE_START.pattern) == strip(
+        hp.locatestarttagend_tolerant.pattern
+    )
+    # _declname_match is a bound .match with no public pattern attr on
+    # some versions — assert the literal appears in the stdlib source
+    assert tx._DECLNAME.pattern in inspect.getsource(_markupbase)
