@@ -42,17 +42,22 @@ def _fake_pipeline() -> dict:
         "pairs": 4,
         "scaling_efficiency": 0.812,
     }
+    twin = {
+        "pages": 30000,
+        "seconds_2": 10.123,
+        "seconds_8": 2.591,
+        "samples": {"2": [10.123, 11.0], "8": [2.591, 2.7]},
+        "scaling_efficiency": 0.966,
+    }
     return {
         **pair,
+        # worst-case shape: BOTH twins + BOTH adjusted ratios coexist
+        # (the primary twin runs every round since r6)
+        "cpu_twin_1_4": dict(twin),
+        "colocation_adjusted_eff_1_4": 0.892,
         "point8": _fake_level(8),
         "pair_2_8": pair2,
-        "cpu_twin_2_8": {
-            "pages": 30000,
-            "seconds_2": 10.123,
-            "seconds_8": 2.591,
-            "samples": {"2": [10.123, 11.0], "8": [2.591, 2.7]},
-            "scaling_efficiency": 0.966,
-        },
+        "cpu_twin_2_8": twin,
         "colocation_adjusted_eff_2_8": 0.841,
     }
 
