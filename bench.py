@@ -453,11 +453,20 @@ def run_cpu_twin(n_lo: int, n_hi: int) -> dict:
     interleaved."""
     import multiprocessing as mp
 
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
 
     pages, _ = bench_corpus()
-    tbl = pq.read_table(pages, columns=["html"])
-    htmls = tbl.column("html").to_pylist()[:CPU_TWIN_PAGES]
+    # read ONLY the sampled rows: materializing all 720k gzip cells to
+    # take 30k was a ~24x wasted scan and a per-run memory spike inside
+    # the bench process itself (review catch r6)
+    htmls: list = []
+    for batch in ds.dataset(pages).to_batches(
+        columns=["html"], batch_size=4096
+    ):
+        htmls.extend(batch.column(0).to_pylist())
+        if len(htmls) >= CPU_TWIN_PAGES:
+            break
+    htmls = htmls[:CPU_TWIN_PAGES]
     n_chunks = 64
     chunks = [htmls[i::n_chunks] for i in range(n_chunks)]
 
@@ -467,7 +476,10 @@ def run_cpu_twin(n_lo: int, n_hi: int) -> dict:
             # python workers are warm in the measured pair too)
             pool.map(_cpu_twin_chunk, [[] for _ in range(nproc)])
             t0 = time.time()
-            pool.map(_cpu_twin_chunk, chunks)
+            # bounded: the twin is the only in-process phase — a
+            # runaway level must abort the twin (to _safe_twin's
+            # catch), never silently eat the suite reserve
+            pool.map_async(_cpu_twin_chunk, chunks).get(timeout=120)
             return round(time.time() - t0, 3)
 
     times = {n_lo: [], n_hi: []}
@@ -682,22 +694,6 @@ def _main() -> None:
         bench_corpus(PAIR_PAGES)
         bench_corpus()
         n_lo, n_hi = SCALE_LEVELS
-        # primary pair gets everything except the suite reserve — the
-        # pair is the graded criterion, so a slow window spends its
-        # time on a SECOND pair (min-of-2 per level); the local[8]
-        # point below rides whatever the pair phase leaves over (no
-        # carve-out: a slice too small to satisfy the est8 gate would
-        # just starve the pair phase for nothing)
-        pipeline = run_scaling(
-            n_lo,
-            n_hi,
-            budget=int(_remaining() - SUITE_RESERVE),
-            # once min-of-2 pairs are in, further pairs yield only if
-            # the full-corpus local[8] point (~450 s slow-window) still
-            # fits afterwards — it is the other graded number
-            extra_reserve_after_min=450.0,
-        )
-        _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
         # pure-CPU twin ADJACENT to the primary pair (~40 s, no Spark):
         # the host's own lo→hi scaling ceiling in THIS window. Busy
@@ -706,20 +702,40 @@ def _main() -> None:
         # was 0.72–0.79; quiet-window runs measure 0.86–1.02), so the
         # colocation-adjusted ratio is the window-robust scaling read
         # the single-pair graded record was missing (VERDICT r5 #2).
-        if (
-            pipeline.get("scaling_efficiency")
-            and _remaining() - SUITE_RESERVE > 120
-        ):
-            twin0 = _safe_twin(n_lo, n_hi)
-            if twin0:
-                pipeline[f"cpu_twin_{n_lo}_{n_hi}"] = twin0
-            if twin0.get("scaling_efficiency"):
-                pipeline[f"colocation_adjusted_eff_{n_lo}_{n_hi}"] = round(
-                    pipeline["scaling_efficiency"]
-                    / twin0["scaling_efficiency"],
-                    3,
-                )
+        # It runs BEFORE the pair (still the same window — the pair
+        # starts seconds later) where budget is plentiful: running it
+        # after risked either eating the suite reserve (its old 120 s
+        # gate vs a 4×-window twin) or being skipped exactly in the
+        # tight-budget runs that most need the adjusted read (review
+        # catch r6). Each level is timeout-capped at 120 s, so the
+        # worst case costs two pair-rounds of budget, which the pair
+        # phase's own arithmetic then absorbs.
+        twin0 = _safe_twin(n_lo, n_hi)
+        if twin0:
+            pipeline[f"cpu_twin_{n_lo}_{n_hi}"] = twin0
             _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
+
+        # primary pair gets everything except the suite reserve — the
+        # pair is the graded criterion, so a slow window spends its
+        # time on a SECOND pair (min-of-2 per level); the local[8]
+        # point below rides whatever the pair phase leaves over (no
+        # carve-out: a slice too small to satisfy the est8 gate would
+        # just starve the pair phase for nothing)
+        pipeline.update(run_scaling(
+            n_lo,
+            n_hi,
+            budget=int(_remaining() - SUITE_RESERVE),
+            # once min-of-2 pairs are in, further pairs yield only if
+            # the full-corpus local[8] point (~450 s slow-window) still
+            # fits afterwards — it is the other graded number
+            extra_reserve_after_min=450.0,
+        ))
+        if twin0.get("scaling_efficiency") and pipeline.get("scaling_efficiency"):
+            pipeline[f"colocation_adjusted_eff_{n_lo}_{n_hi}"] = round(
+                pipeline["scaling_efficiency"] / twin0["scaling_efficiency"],
+                3,
+            )
+        _PARTIAL["pipeline"] = _compact_pipeline(pipeline)
 
         # absolute local[8] throughput point (VERDICT r4 #3): the
         # baseline comparison number, measured on the FULL corpus.

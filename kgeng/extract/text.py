@@ -219,13 +219,13 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     while i < n:
         lt = find("<", i)
         if lt == -1:
-            if p_depth and not skip_depth:
-                # unescape PER TEXT RUN, like html.parser's
-                # convert_charrefs: an entity split across a tag
-                # boundary stays literal instead of decoding after join
-                buf.append(unescape(doc[i:]))
+            # trailing text with no '<' left: an open paragraph can
+            # never close now, so the tail never reaches paras
             break
         if lt > i and p_depth and not skip_depth:
+            # unescape PER TEXT RUN, like html.parser's
+            # convert_charrefs: an entity split across a tag boundary
+            # stays literal instead of decoding after join
             buf.append(unescape(doc[i:lt]))
         # single-char dispatch on what follows '<' (cheaper than a
         # startswith cascade at ~800 tags/page)
@@ -241,8 +241,10 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             # end tag can be consumed) — probed matrix in the tests
             gt = find(">", lt + 4)
             if gt == -1:
-                if p_depth and not skip_depth:
-                    buf.append(unescape(doc[lt:]))
+                # no '>' anywhere after: html.parser still buffers the
+                # tail as data, but with no '>' no paragraph can ever
+                # close, so nothing reaches paras — stop without the
+                # write-only append
                 break
             if p_depth and not skip_depth:
                 buf.append(unescape(doc[lt : gt + 1]))
@@ -281,8 +283,10 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             # tolerant path (name right at '</' + junk swallowed to the
             # next '>', end tag still fired); then bogus comment
             # swallowed through the next '>'. An incomplete '</...'
-            # with no '>' before EOF is DATA in html.parser (the
-            # goahead end-of-feed path), not silently dropped.
+            # with no '>' before EOF becomes buffered data in
+            # html.parser (the goahead end-of-feed path) — but with no
+            # '>' left no paragraph can ever close, so none of it can
+            # reach paras and the scanner just stops.
             em = _END_TAG.match(doc, lt)
             if em:
                 name = em.group(1).lower()
@@ -291,8 +295,6 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
                 tm = _END_TAG_TOLERANT.match(doc, lt)
                 gt = find(">", tm.end() if tm else lt + 2)
                 if gt == -1:
-                    if p_depth and not skip_depth:
-                        buf.append(unescape(doc[lt:]))
                     break
                 if not tm:
                     i = gt + 1
@@ -373,17 +375,30 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
             close = _CDATA_CLOSE[name].search(doc, i)
             i = n if close is None else close.end()
             continue
-        if name in _VOID or self_closing and name not in _SKIP_SUBTREE and name != "p":
+        if name in _VOID:
             continue
+        # a self-closing tag is handle_startendtag = starttag THEN
+        # endtag. The extractor's starttag ignores p inside a skip
+        # subtree, but its ENDTAG decrements p_depth and flushes
+        # REGARDLESS of skip depth — so `<p/>` inside <nav> closes an
+        # outer open paragraph exactly like a bare `</p>` there would
+        # (review catch r6: the old `skip_depth == 0` guard made it a
+        # no-op and desynced every later paragraph boundary)
         if name in _SKIP_SUBTREE:
             if not self_closing:
                 skip_depth += 1
-        elif name == "p" and skip_depth == 0:
-            if p_depth == 0:
-                buf = []
-            if self_closing:
-                continue  # opens and closes: empty paragraph, dropped
-            p_depth += 1
+            # self-closing: start (+1) then end (-1) — net no-op
+        elif name == "p":
+            if skip_depth == 0:
+                if p_depth == 0:
+                    buf = []
+                p_depth += 1
+            if self_closing and p_depth:
+                p_depth -= 1
+                if p_depth == 0:
+                    text = _WS.sub(" ", "".join(buf)).strip()
+                    if text:
+                        paras.append(text)
     return "\n".join(paras)
 
 

@@ -197,7 +197,6 @@ def test_scanner_grammar_is_in_lockstep_with_stdlib():
     instead of surfacing as a probabilistic differential-fuzz flake."""
     import html.parser as hp
     import inspect
-    import re as _re
 
     import _markupbase
 
@@ -209,11 +208,86 @@ def test_scanner_grammar_is_in_lockstep_with_stdlib():
     assert tx._COMMENT_CLOSE.pattern == hp.commentclose.pattern
     assert tx._MARKED_CLOSE.pattern == _markupbase._markedsectionclose.pattern
     assert tx._MS_MARKED_CLOSE.pattern == _markupbase._msmarkedsectionclose.pattern
-    # verbose pattern: compare modulo whitespace and comments
-    strip = lambda p: _re.sub(r"#[^\n]*|\s+", "", p)
-    assert strip(tx._LOCATE_START.pattern) == strip(
+    # verbose pattern: compare modulo the whitespace/comments VERBOSE
+    # itself ignores — which excludes character classes, where
+    # whitespace IS significant (naive \s+ stripping would erase the
+    # literal space in [^\t\n\r\f />\x00] from both sides and mask a
+    # real grammar divergence on whether space ends a tag name)
+    def strip_verbose(p: str) -> str:
+        out, in_class, i = [], False, 0
+        while i < len(p):
+            c = p[i]
+            if c == "\\":
+                out.append(p[i : i + 2])
+                i += 2
+                continue
+            if in_class:
+                out.append(c)
+                in_class = c != "]"
+            elif c == "[":
+                out.append(c)
+                in_class = True
+            elif c == "#":
+                while i < len(p) and p[i] != "\n":
+                    i += 1
+            elif not c.isspace():
+                out.append(c)
+            i += 1
+        return "".join(out)
+
+    assert strip_verbose(tx._LOCATE_START.pattern) == strip_verbose(
         hp.locatestarttagend_tolerant.pattern
     )
     # _declname_match is a bound .match with no public pattern attr on
     # some versions — assert the literal appears in the stdlib source
     assert tx._DECLNAME.pattern in inspect.getsource(_markupbase)
+
+
+def test_self_closing_p_inside_skip_subtree():
+    """handle_startendtag = starttag + endtag: the extractor's endtag
+    flushes an open paragraph REGARDLESS of skip depth, so `<p/>`
+    inside <nav> closes an outer paragraph exactly like a bare `</p>`
+    there would (r6 review catch — the scanner's old guard made it a
+    no-op and desynced every later paragraph boundary)."""
+    from kgeng.extract.text import extract_text_py, extract_text_py_reference
+
+    cases = [
+        b"<p>x<nav><p/></nav>y</p>",
+        b"<p>x<nav><p/><p/></nav>y</p>",
+        b"<p>a<p>b<nav><p/></nav>c</p>d</p>",
+        b"<nav><p/></nav><p>z</p>",
+        b"<p>x<aside><p />more</aside>y</p>",
+        b"<p>x<script><p/></script>y</p>",  # cdata swallows, no event
+        b"<nav/><p>k</p>",
+    ]
+    for h in cases:
+        assert extract_text_py(h) == extract_text_py_reference(h), h
+
+
+def test_scanner_fuzz_structured_tags():
+    """Differential fuzz over REAL tag tokens (the character-soup fuzz
+    cannot spell 'nav' or 'script', so whole classes — skip-subtree
+    nesting, cdata boundaries, marked sections — were unreachable; the
+    r6 <p/>-in-skip divergence hid exactly there). 120k-doc sweep of
+    this pool passed during development."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgeng.extract.text import extract_text_py, extract_text_py_reference
+
+    tokens = st.sampled_from([
+        "<p>", "</p>", "<p/>", "<p />", "<nav>", "</nav>", "<nav/>",
+        "<aside>", "</aside>", "<b>", "</b>", "<br/>", "<script>",
+        "</script>", "<style>", "</style>", "<template>", "</template>",
+        "<header>", "</header>", "<p a='x'>", '<p a="y"/>', "<!--",
+        "-->", "<![cdata[", "]]>", "<!x>", "x", "y z", "&amp;", "&lt",
+        "<", ">", "'", '"', " ", "\n", "/", "=",
+    ])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(tokens, min_size=1, max_size=18))
+    def check(parts):
+        h = "".join(parts).encode()
+        assert extract_text_py(h) == extract_text_py_reference(h), h
+
+    check()
