@@ -142,6 +142,10 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "doc_pack_stats",
     "kg_pagerank",
+    "doc_line_dedup",
+    "doc_length_deciles",
+    "q_events_funnel",
+    "q_copurchase_pairs",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on

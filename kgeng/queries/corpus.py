@@ -706,6 +706,105 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): per stage,
+    the number of users who reached it in order (each stage's event
+    strictly after the previous stage's FIRST event) and the
+    conversion from the previous stage in integer basis points.
+
+    Scale shape: funnel state per user is three timestamps, built by a
+    chain of min-aggregate → equi-join on the funnel key (user_id) —
+    never a per-user sorted event list (unbounded state on whale
+    users). Each stage shrinks the key set, so the later joins see
+    only converting users; the three one-row stage counts meet in
+    broadcast scalar joins."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    one = (
+        v.agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n3"))))
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("1_view").alias("stage"),
+            F.col("n1").alias("n_users"),
+            F.lit(10000).cast("int").alias("conv_bp"),
+        ),
+        F.struct(
+            F.lit("2_click").alias("stage"),
+            F.col("n2").alias("n_users"),
+            F.expr(
+                "CAST(CASE WHEN n1 = 0 THEN 0"
+                " ELSE (n2 * 10000) div n1 END AS INT)"
+            ).alias("conv_bp"),
+        ),
+        F.struct(
+            F.lit("3_purchase").alias("stage"),
+            F.col("n3").alias("n_users"),
+            F.expr(
+                "CAST(CASE WHEN n2 = 0 THEN 0"
+                " ELSE (n3 * 10000) div n2 END AS INT)"
+            ).alias("conv_bp"),
+        ),
+    )
+    return one.select(F.inline(stages))
+
+
+COPURCHASE_TOPK = 20  # report size (product constant, not a scale knob)
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (market-basket): the top-K part pairs
+    appearing in the same order, ties broken (count desc, part_a asc,
+    part_b asc).
+
+    Scale shape: the self-join key is the BASKET id (l_orderkey), so
+    pair space is Σ C(items-per-order, 2) — linear in orders because
+    basket size is bounded by the domain, never all-pairs-of-parts.
+    The pair groupBy is map-side combined and the final top-K is a
+    TakeOrderedAndProject (distributed top-k merge, no global sort)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    pairs = li.join(
+        li.select("ok", F.col("pk").alias("pk2")), "ok"
+    ).filter(F.col("pk") < F.col("pk2"))
+    return (
+        pairs.groupBy("pk", "pk2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "pk", "pk2")
+        .limit(COPURCHASE_TOPK)
+        .select(
+            F.col("pk").alias("part_a"), F.col("pk2").alias("part_b"), "n_orders"
+        )
+    )
+
+
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
@@ -715,6 +814,8 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_filter_chain,
     doc_fingerprint,
     doc_lang_id,
+    doc_length_deciles,
+    doc_line_dedup,
     doc_mix_sample,
     doc_mix_weights,
     doc_oov_rate,
@@ -816,14 +917,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tail (columns ⊂ doc_bpe_tokens + doc_quality — demoted to grade
     # kg_pagerank, a whole new operator, in its slot) along with the
     # round-6 additions that arrived after the window filled
-    # (doc_tfidf_top_terms, doc_pack_stats); all tail entries remain
-    # verified type-strict by the local oracle harness at sf0.001 AND
-    # sf0.01 every test run. Gate: tests/test_queries_oracle.py::
-    # test_registry_fits_driver_grade_cap.
+    # (doc_tfidf_top_terms, doc_pack_stats, then doc_line_dedup /
+    # doc_length_deciles / q_events_funnel / q_copurchase_pairs); all
+    # tail entries remain verified type-strict by the local oracle
+    # harness at sf0.001 AND sf0.01 every test run. Gate:
+    # tests/test_queries_oracle.py::test_registry_fits_driver_grade_cap.
     "doc_token_stats": doc_token_stats,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_pack_stats": doc_pack_stats,
     "kg_degree_distribution": kg_degree_distribution,
+    "doc_line_dedup": doc_line_dedup,
+    "doc_length_deciles": doc_length_deciles,
+    "q_events_funnel": q_events_funnel,
+    "q_copurchase_pairs": q_copurchase_pairs,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -838,6 +944,10 @@ TAIL_UNGRADED = (
     "doc_tfidf_top_terms",
     "doc_pack_stats",
     "kg_degree_distribution",
+    "doc_line_dedup",
+    "doc_length_deciles",
+    "q_events_funnel",
+    "q_copurchase_pairs",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

@@ -1155,4 +1155,112 @@ ORACLES: dict[str, str] = {
     )
     GROUP BY o_orderpriority
     """,
+    "doc_line_dedup": """
+    -- CCNet-style cross-doc block dedup: first (doc_id, pos)
+    -- occurrence of each 16-token block hash survives; window
+    -- rank here ≡ the engine's min(struct) keeper (keys are unique)
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(0, (len(tk) - 1) // 16)) AS pos
+      FROM t
+    ),
+    inst AS (
+      SELECT doc_id, pos,
+             array_to_string(tk[pos * 16 + 1 : pos * 16 + 16], ' ')
+                 AS block
+      FROM p
+    ),
+    k AS (
+      SELECT doc_id, pos, block,
+             ROW_NUMBER() OVER (PARTITION BY md5(block)
+                                ORDER BY doc_id, pos) AS rk
+      FROM inst
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST((SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS INT) AS kept_bp,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN block END,
+                               ' ' ORDER BY pos), '') AS text_dedup
+    FROM k GROUP BY doc_id
+    """,
+    "doc_length_deciles": """
+    -- exact integer decile boundaries over the token-count histogram:
+    -- boundary(d) = min length with cum >= ceil(d*N/10); each
+    -- histogram row emits the deciles it bounds in closed form
+    WITH h AS (
+      SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                 AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY v
+    ),
+    cw AS (
+      SELECT v, c,
+             CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum,
+             (SELECT SUM(c) FROM h) AS n
+      FROM h
+    ),
+    e AS (
+      SELECT v, cum,
+             unnest(generate_series(
+                 CAST(greatest((10 * (cum - c) + n) // n, 1) AS BIGINT),
+                 CAST(least((10 * cum) // n, 10) AS BIGINT))) AS d
+      FROM cw
+    )
+    SELECT CAST(d AS INT) AS decile,
+           CAST(v AS BIGINT) AS n_tokens_boundary,
+           CAST(cum AS BIGINT) AS cum_docs
+    FROM e
+    """,
+    "q_events_funnel": """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t_click
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM v) AS n1,
+             (SELECT COUNT(*) FROM c) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+           CAST(10000 AS INT) AS conv_bp FROM n
+    UNION ALL
+    SELECT '2_click', CAST(n2 AS BIGINT),
+           CAST(CASE WHEN n1 = 0 THEN 0
+                     ELSE (n2 * 10000) // n1 END AS INT) FROM n
+    UNION ALL
+    SELECT '3_purchase', CAST(n3 AS BIGINT),
+           CAST(CASE WHEN n2 = 0 THEN 0
+                     ELSE (n3 * 10000) // n2 END AS INT) FROM n
+    """,
+    "q_copurchase_pairs": """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    )
+    SELECT a.pk AS part_a, b.pk AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
 }

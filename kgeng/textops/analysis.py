@@ -826,3 +826,111 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("(n_tokens * 10000) div tot").alias("weight_bp"),
     )
+
+
+# Cross-document block dedup (the CCNet / RefinedWeb "line-level
+# dedup" pass: hash every line across the corpus, keep one occurrence,
+# drop the boilerplate repeats). The synthetic corpus has no newlines,
+# so the unit is a fixed non-overlapping LINE_BLOCK_W-token block —
+# the plan is identical either way, only the split expression changes.
+LINE_BLOCK_W = 16
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide block-level dedup: every ``LINE_BLOCK_W``-token
+    block is hashed; only its globally-first occurrence (min
+    ``(doc_id, pos)``) survives, and each document is re-assembled
+    from its surviving blocks. Output per doc: block counts, the kept
+    ratio in integer basis points, and the deduplicated text.
+
+    Scale shape: block instances ≈ tokens / W; the keeper choice is a
+    map-side-combinable ``min(struct(doc_id, pos))`` groupBy on the
+    block hash (partial aggregation absorbs the hot boilerplate keys —
+    a rank window over the hash would sort the whole hot partition
+    instead), then one shuffle join back on the 32-char hash (AQE
+    skew-split handles residual hot hashes) and one groupBy on doc_id.
+    Grouping ships the md5, never the block text twice."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    blocks = F.transform(
+        F.sequence(
+            F.lit(0), F.expr(f"(size(split(text, '\\\\s+')) - 1) div {LINE_BLOCK_W}")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * LINE_BLOCK_W + 1, LINE_BLOCK_W)
+        ),
+    )
+    inst = d.select(
+        "doc_id", F.posexplode(blocks).alias("pos", "block")
+    ).withColumn("h", F.md5("block"))
+    keeper = inst.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
+    joined = inst.join(keeper, "h")
+    kept = (F.col("keep.doc_id") == F.col("doc_id")) & (
+        F.col("keep.pos") == F.col("pos")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.expr(
+            "CAST((sum(CAST(keep.doc_id = doc_id AND keep.pos = pos AS LONG))"
+            " * 10000) div count(*) AS INT)"
+        ).alias("kept_bp"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.struct("pos", "block")))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global decile boundaries of per-doc token counts — the
+    length profile a curriculum / packing / filtering pass reads.
+    boundary(d) = min length L with cum_docs(L) ≥ ⌈d·N/10⌉, all in
+    integer arithmetic (no percentile_approx, no float boundary — the
+    same value on both engines at any scale).
+
+    Scale shape: a global sort-based quantile would shuffle the whole
+    corpus; instead the corpus collapses to a VALUE HISTOGRAM first
+    (map-side-combined groupBy on the token count — the distinct-value
+    space is bounded by the max document length, not the corpus size),
+    so the single-partition cumulative window runs over at most
+    max-doc-length rows regardless of corpus scale. Each histogram row
+    then computes which deciles it bounds in closed form
+    (d ∈ [⌈(10·cum_prev+1)/N⌉, ⌊10·cum/N⌋]) and explodes — no
+    inequality join, no second pass."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    hist = (
+        d.select(F.size(tokens_col(F.col("text"))).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(F.sum("c").alias("n"))
+    e = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "cum",
+        F.expr("greatest((10 * (cum - c) + n) div n, 1L)").alias("d_lo"),
+        F.expr("least((10 * cum) div n, 10L)").alias("d_hi"),
+    )
+    deciles = F.when(
+        F.col("d_hi") >= F.col("d_lo"), F.sequence("d_lo", "d_hi")
+    ).otherwise(F.array().cast("array<long>"))
+    return e.select(
+        F.explode(deciles).alias("d"),
+        F.col("v").alias("n_tokens_boundary"),
+        F.col("cum").alias("cum_docs"),
+    ).select(
+        F.col("d").cast("int").alias("decile"),
+        "n_tokens_boundary",
+        "cum_docs",
+    )

@@ -400,3 +400,62 @@ def test_pack_stats_is_one_bounded_aggregate(spark):
     assert any(
         "HashAggregate" in l and "partial" in l for l in plan.splitlines()
     ), plan
+
+
+def test_line_dedup_keeper_is_partial_min_no_window(spark):
+    """doc_line_dedup's keeper choice must be a map-side-combinable
+    min(struct) groupBy on the block hash — partial aggregation is
+    what absorbs the hot boilerplate keys at corpus scale. A rank
+    window over the hash would sort the whole hot partition instead,
+    so the plan must be window-free."""
+    from kgeng.textops.analysis import doc_line_dedup
+
+    plan = plan_of(doc_line_dedup(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "partial_min(struct(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_deciles_window_runs_over_histogram(spark):
+    """The exact-decile op must collapse the corpus to a value
+    histogram BEFORE its single-partition cumulative window — the
+    window input is bounded by max doc length, not corpus size. A
+    window (or global sort) directly over per-doc rows would shuffle
+    the whole corpus to one task."""
+    from kgeng.textops.analysis import doc_length_deciles
+
+    plan = plan_of(doc_length_deciles(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    after = tree[tree.index("Window"):]
+    window_subtree = after[: after.index("Scan parquet")]
+    # two HashAggregates (partial + final histogram) feed the window
+    assert window_subtree.count("HashAggregate") >= 2, tree
+    # the decile fan-out is closed-form explode, never a range join
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_topk_is_take_ordered(spark):
+    """The pair report's top-K must be a distributed top-k merge
+    (TakeOrderedAndProject), not a global sort, and the self-join must
+    carry the basket key so pair space stays linear in orders."""
+    from kgeng.queries.corpus import q_copurchase_pairs
+
+    plan = plan_of(q_copurchase_pairs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Left keys [1]: [ok#" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_stage_joins_carry_user_id(spark):
+    """Every funnel stage join must be an equi-join on the funnel key
+    (user_id); the only nested-loop joins allowed are the three 1-row
+    stage-count scalars meeting at the end."""
+    from kgeng.queries.corpus import q_events_funnel
+
+    plan = plan_of(q_events_funnel(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    assert "Left keys [1]: [user_id#" in plan, plan
+    assert "CartesianProduct" not in plan

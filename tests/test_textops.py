@@ -607,3 +607,56 @@ def test_streaming_click_attribution_matches_batch_join(spark):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_line_dedup_keeps_first_global_occurrence(spark, tmp_path):
+    """Cross-doc block dedup semantics on a crafted corpus: a verbatim
+    duplicate document loses ALL its blocks (kept_bp 0, empty dedup
+    text); a doc sharing one block keeps only its fresh block."""
+    from kgeng.textops.analysis import LINE_BLOCK_W, doc_line_dedup
+
+    b1 = " ".join(f"t{i}" for i in range(LINE_BLOCK_W))
+    b2 = " ".join(f"s{i}" for i in range(LINE_BLOCK_W))
+    fresh = " ".join(f"u{i}" for i in range(LINE_BLOCK_W))
+    docs = [
+        (1, f"{b1} {b2}"),          # original: both blocks kept
+        (2, f"{b1} {b2}"),          # verbatim dup: nothing kept
+        (3, f"{b1} {fresh}"),       # half dup: only the fresh block
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["kept_bp"], r["text_dedup"])
+        for r in doc_line_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 2, 10000, f"{b1} {b2}")
+    assert got[2] == (2, 0, 0, "")
+    assert got[3] == (2, 1, 5000, fresh)
+
+
+def test_length_deciles_exact_boundaries(spark, tmp_path):
+    """boundary(d) = min length with cum >= ceil(d*N/10), pinned on
+    two crafted corpora: 10 distinct lengths (boundary d = length d)
+    and a constant-length corpus (every decile = that length)."""
+    from kgeng.textops.analysis import doc_length_deciles
+
+    docs = [(i, " ".join(["w"] * i)) for i in range(1, 11)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["decile"]: r["n_tokens_boundary"]
+        for r in doc_length_deciles(spark, str(tmp_path)).collect()
+    }
+    assert got == {d: d for d in range(1, 11)}
+
+    docs = [(i, "w x y z w x y") for i in range(5)]  # 5 docs, length 7
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["decile"]: r["n_tokens_boundary"]
+        for r in doc_length_deciles(spark, str(tmp_path)).collect()
+    }
+    assert got == {d: 7 for d in range(1, 11)}
