@@ -110,3 +110,50 @@ def run_degree0_delete(
             "n_deleted": n_nodes_before - n_nodes,
         },
     )
+
+def upsert_nodes(
+    snapshot: DataFrame, delta: DataFrame, key: str = "id"
+) -> DataFrame:
+    """SCD-1 MERGE of a node delta into a snapshot: last-write-wins by
+    ``key``; delta-only rows insert, matched rows take the delta's
+    payload, snapshot-only rows carry over. Returns the merged frame
+    plus an ``action`` column (insert / update / noop / carry) so a
+    materializing caller can write the new snapshot AND commit the
+    merge statistics as lineage metrics in one pass. A NULL payload
+    cell in the delta means "keep the snapshot's value" (per-column
+    coalesce), so partial deltas work.
+
+    On Iceberg this is the copy-on-write MERGE INTO producing a new
+    snapshot; the sandbox backend rewrites the parquet dir (the same
+    rewrite-as-delete protocol as :func:`run_degree0_delete`).
+
+    Scale shape: a full-outer shuffle join on the node id — MERGE
+    cannot broadcast (both sides must surface their unmatched rows),
+    so the key hash-partitions both sides once; everything after the
+    single join is per-row coalesce/when codegen. Row presence is
+    tracked with marker literals, never payload nullity, so all-NULL
+    payload rows still classify correctly."""
+    payload = [c for c in snapshot.columns if c != key]
+    s = snapshot.withColumn("_s", F.lit(1))
+    d = delta.select(
+        key, *[F.col(c).alias(f"_d_{c}") for c in payload]
+    ).withColumn("_d", F.lit(1))
+    j = s.join(d, key, "full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        # compare the post-coalesce value, so a NULL ("keep") delta
+        # cell classifies as noop, not update
+        changed = changed | ~F.coalesce(
+            F.col(f"_d_{c}"), F.col(c)
+        ).eqNullSafe(F.col(c))
+    action = (
+        F.when(F.col("_s").isNull(), F.lit("insert"))
+        .when(F.col("_d").isNull(), F.lit("carry"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("noop"))
+    )
+    return j.select(
+        key,
+        *[F.coalesce(F.col(f"_d_{c}"), F.col(c)).alias(c) for c in payload],
+        action.alias("action"),
+    )

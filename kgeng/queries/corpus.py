@@ -805,6 +805,67 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE audit: a deterministic node delta (names
+    upper-cased for ids whose md5 starts with '0', brand-new
+    ``NEW:``-prefixed ids for md5-prefix '00') is merged into the node
+    snapshot via :func:`kgeng.graph.maintenance.upsert_nodes`; the
+    audit groups the merged table by merge action with id-range
+    checksums. The delta rule is hash-keyed so both engines derive the
+    same delta at any SF — no fixture file.
+
+    Scale shape: MERGE is ONE full-outer shuffle join on the node id
+    (it cannot broadcast — both sides surface unmatched rows); the
+    audit is a map-side-combined groupBy on the 4-value action key."""
+    from kgeng.graph.maintenance import upsert_nodes
+
+    nodes = kg_nodes(spark, sf_dir).select("id", "name")
+    upd = nodes.filter(F.substring(F.md5("id"), 1, 1) == "0").select(
+        "id", F.upper("name").alias("name")
+    )
+    ins = nodes.filter(F.substring(F.md5("id"), 1, 2) == "00").select(
+        F.concat(F.lit("NEW:"), F.col("id")).alias("id"),
+        F.concat(F.lit("new-"), F.col("name")).alias("name"),
+    )
+    merged = upsert_nodes(nodes, upd.unionByName(ins))
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+RETENTION_HORIZON_DAYS = 7
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day,
+    counted on each of the following ``RETENTION_HORIZON_DAYS`` days
+    they return — the activation/retention matrix every growth
+    dashboard is built on.
+
+    Scale shape: the cohort assignment is a min-aggregate on the user
+    key joined back on the same key (one hash partitioning serves
+    both); the distinct-user count per (cohort, offset) cell is
+    Spark's two-phase partial-distinct — no per-user event lists, no
+    window."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= RETENTION_HORIZON_DAYS)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
@@ -918,7 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kg_pagerank, a whole new operator, in its slot) along with the
     # round-6 additions that arrived after the window filled
     # (doc_tfidf_top_terms, doc_pack_stats, then doc_line_dedup /
-    # doc_length_deciles / q_events_funnel / q_copurchase_pairs); all
+    # doc_length_deciles / q_events_funnel / q_copurchase_pairs /
+    # kg_upsert_audit / q_user_retention); all
     # tail entries remain verified type-strict by the local oracle
     # harness at sf0.001 AND sf0.01 every test run. Gate:
     # tests/test_queries_oracle.py::test_registry_fits_driver_grade_cap.
@@ -930,6 +992,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_deciles": doc_length_deciles,
     "q_events_funnel": q_events_funnel,
     "q_copurchase_pairs": q_copurchase_pairs,
+    "kg_upsert_audit": kg_upsert_audit,
+    "q_user_retention": q_user_retention,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -948,6 +1012,8 @@ TAIL_UNGRADED = (
     "doc_length_deciles",
     "q_events_funnel",
     "q_copurchase_pairs",
+    "kg_upsert_audit",
+    "q_user_retention",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

@@ -1263,4 +1263,40 @@ ORACLES: dict[str, str] = {
     ORDER BY n_orders DESC, part_a ASC, part_b ASC
     LIMIT 20
     """,
+    "kg_upsert_audit": KG_PRELUDE
+    + """
+    , snap AS (SELECT id, name FROM nodes),
+    upd AS (
+      SELECT id, upper(name) AS name FROM snap
+      WHERE substr(md5(id), 1, 1) = '0'
+    ),
+    ins AS (
+      SELECT 'NEW:' || id AS id, 'new-' || name AS name FROM snap
+      WHERE substr(md5(id), 1, 2) = '00'
+    ),
+    delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    m AS (
+      SELECT COALESCE(d.id, s.id) AS id,
+             CASE WHEN s.id IS NULL THEN 'insert'
+                  WHEN d.id IS NULL THEN 'carry'
+                  WHEN d.name IS DISTINCT FROM s.name THEN 'update'
+                  ELSE 'noop' END AS action
+      FROM snap s FULL OUTER JOIN delta d ON s.id = d.id
+    )
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(id) AS min_id, MAX(id) AS max_id
+    FROM m GROUP BY action
+    """,
+    "q_user_retention": """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT cohort_day,
+           CAST(day - cohort_day AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d JOIN f USING (user_id)
+    WHERE day - cohort_day <= 7
+    GROUP BY 1, 2
+    """,
 }

@@ -117,3 +117,32 @@ def test_typed_header_parser():
 
     with pytest.raises(ValueError):
         parse_typed_header("x:decimal(10,2)")
+
+
+def test_upsert_nodes_merge_semantics(spark):
+    """SCD-1 MERGE truth table on crafted rows: delta-only inserts,
+    matched rows take the delta payload, snapshot-only rows carry,
+    NULL delta cells mean KEEP (and classify as noop, not update),
+    and presence is tracked by markers so all-NULL payloads work."""
+    from kgeng.graph.maintenance import upsert_nodes
+
+    snap = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", None), ("6", "f")],
+        "id string, name string",
+    )
+    delta = spark.createDataFrame(
+        [("2", "B"), ("3", None), ("4", "d"), ("5", None), ("6", None)],
+        "id string, name string",
+    )
+    got = {
+        r["id"]: (r["name"], r["action"])
+        for r in upsert_nodes(snap, delta).collect()
+    }
+    assert got == {
+        "1": ("a", "carry"),
+        "2": ("B", "update"),
+        "3": (None, "noop"),      # NULL == NULL null-safely
+        "4": ("d", "insert"),
+        "5": (None, "insert"),    # all-NULL payload still inserts
+        "6": ("f", "noop"),       # NULL delta cell keeps + noop
+    }

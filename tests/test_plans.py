@@ -459,3 +459,30 @@ def test_funnel_stage_joins_carry_user_id(spark):
     assert tree.count("BroadcastNestedLoopJoin") == 2, tree
     assert "Left keys [1]: [user_id#" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_upsert_merge_is_one_full_outer_join_on_id(spark):
+    """MERGE must be exactly one full-outer shuffle join on the node
+    id (it cannot broadcast — both sides surface unmatched rows);
+    everything downstream is per-row codegen + one action groupBy."""
+    from kgeng.queries.corpus import kg_upsert_audit
+
+    plan = plan_of(kg_upsert_audit(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin FullOuter") == 1, tree
+    assert tree.count("Join") == 1, tree
+    assert "Left keys [1]: [id#" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_joins_on_the_user_key(spark):
+    """Cohort assignment joins back on the SAME key it aggregated on
+    (user_id) and the horizon filter rides the join, so no event
+    survives past it; the cell count is a two-phase exact distinct,
+    never a per-user event list."""
+    from kgeng.queries.corpus import q_user_retention
+
+    plan = plan_of(q_user_retention(spark, SF_DIR))
+    assert "Left keys [1]: [user_id#" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
