@@ -148,6 +148,8 @@ HEADLINE = [
     "q_copurchase_pairs",
     "kg_upsert_audit",
     "q_user_retention",
+    "kg_triangles",
+    "q_event_transitions",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on

@@ -866,6 +866,191 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_TOPK = 20  # report size (product constant, not a scale knob)
+TRIANGLE_EDGE_BUDGET = 1 << 17  # induced-subgraph edge target
+TRIANGLE_SEED = "kgeng-tri"
+# Orientation key packs (degree, part) into one sortable bigint so the
+# degree-ordered total order is a single integer compare on both
+# engines. Degree < 10^9 at any SF (it is bounded by the part count);
+# partkeys are < 10^10.
+_ORIENT_BASE = 10_000_000_000
+
+
+def triangle_color_shift(
+    n_lineitem: int, budget: int = TRIANGLE_EDGE_BUDGET
+) -> int:
+    """Sizing rule for colorful triangle sampling (Pagh &
+    Tsourakakis, "Colorful triangle counting", 2012 — node-color an
+    induced subgraph, count it exactly): a part enters the subgraph
+    iff its keyed-md5 basis-point bucket < ``10000 >> s``. Node rate
+    ~2^-s keeps ~4^-s of the edges, so ``s`` — the smallest shift
+    putting the estimated co-purchase edge count (≈ 2·|lineitem|)
+    inside the budget — bounds the wedge/closure pair space at ANY
+    corpus size while small corpora stay exact (s = 0). Integer-only
+    (the ``shard_nibbles_for`` pattern); the DuckDB oracle derives
+    the same s in SQL from ``COUNT(*)``."""
+    s = 0
+    while 2 * n_lineitem > budget << (2 * s) and s < 15:
+        s += 1
+    return s
+
+
+def kg_triangles(
+    spark: SparkSession, sf_dir: str, budget: int = TRIANGLE_EDGE_BUDGET
+) -> DataFrame:
+    """Triangle census over the co-purchase projection (parts sharing
+    an order): the top-K parts by triangle participation — the
+    clustering / community-structure audit run on a co-occurrence
+    graph before cutting communities.
+
+    Scale shape, outside-in: (1) colorful node sampling with a
+    DERIVED rate (:func:`triangle_color_shift`) keeps the induced
+    subgraph's edge count inside a fixed budget at any corpus size —
+    small corpora run exact (shift 0), and the color filter runs
+    per lineitem row BEFORE the basket join; (2) the textbook
+    degree-ordered orientation — each undirected edge directed from
+    its lower (degree, id) endpoint to the higher, so out-degree is
+    O(sqrt(m)) no matter how big a hub is; (3) wedges are an
+    equi-join of the oriented set with itself on the SOURCE vertex
+    (pair space Σ C(outdeg, 2), bounded by arboricity — never deg²
+    on hubs), each candidate closing via one more equi-join on the
+    (b, c) pair, every triangle found exactly once, apexed at its
+    lowest-key vertex. All joins equi-joins, aggregates map-side
+    combined, top-K a distributed TakeOrderedAndProject merge."""
+    # The edge set feeds its degree computation plus the orientation
+    # join, and the oriented set feeds THREE consumers (both wedge
+    # legs and the closure probe); lazy localCheckpoints materialize
+    # each once instead of re-running the basket self-join per
+    # reference (the repo's documented lineage-re-execution trap).
+    edges = _copurchase_edges(spark, sf_dir, budget).localCheckpoint(eager=False)
+    oriented = _orient_by_degree(edges).localCheckpoint(eager=False)
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "src")
+        .filter(F.col("e1.kdst") < F.col("e2.kdst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"])
+    participation = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return participation.orderBy(
+        F.col("n_triangles").desc(), "part"
+    ).limit(TRIANGLE_TOPK)
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, budget: int = TRIANGLE_EDGE_BUDGET
+) -> DataFrame:
+    """The undirected co-purchase edge set (u < v, distinct) of the
+    color-sampled part subgraph: the basket self-join, pair space
+    linear in orders and bounded by the color budget. The color
+    filter runs per lineitem ROW, before the self-join, so sampling
+    cuts the join input by the node rate and the pair stream by its
+    square. Split out so the plan gate can audit the construction
+    that :func:`kg_triangles` hides behind its checkpoint."""
+    from kgeng.io.scanmeta import parquet_rows
+
+    s = triangle_color_shift(
+        parquet_rows(f"{sf_dir}/lineitem.parquet"), budget
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    if s:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(TRIANGLE_SEED + "|"),
+                            F.col("pk").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        li = li.filter(bucket < F.lit(10000 >> s))
+    li = li.distinct()
+    return (
+        li.join(li.select("ok", F.col("pk").alias("pk2")), "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+
+
+def _orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Direct each undirected edge from its lower (degree, id)
+    endpoint to the higher under the packed integer total order —
+    out-degree becomes O(sqrt(m)) regardless of hubs."""
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionByName(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = deg.select("p", (F.col("d") * F.lit(_ORIENT_BASE) + F.col("p")).alias("k"))
+    low = F.col("ku") < F.col("kv")
+    return (
+        edges.join(keyed.withColumnsRenamed({"p": "u", "k": "ku"}), "u")
+        .join(keyed.withColumnsRenamed({"p": "v", "k": "kv"}), "v")
+        .select(
+            F.when(low, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(low, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("kdst"),
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event stream: for every
+    (prev event type → next event type) pair of consecutive events of
+    the same user, the transition count and its probability in
+    integer basis points — the behavioural model behind next-action
+    prediction and funnel-leak analysis.
+
+    Scale shape: ONE lag window partitioned by the user key — state is
+    a single row, input per task is bounded by events-per-user, never
+    corpus size; the pair counts are map-side combined down to
+    ≤ |types|² rows, and the per-prev totals that normalize them are a
+    window-sum OVER THOSE COUNTED ROWS (partitions of ≤ |types| rows —
+    a join or re-aggregation here would re-execute the whole lag
+    lineage, the repo's documented no-reuse trap). The event table is
+    read and shuffled exactly once; probabilities use integer div so
+    both engines are bit-identical."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    return pairs.withColumn(
+        "prev_total", F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("n_transitions * 10000 div prev_total").alias("prob_bp"),
+    )
+
+
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
@@ -980,7 +1165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 additions that arrived after the window filled
     # (doc_tfidf_top_terms, doc_pack_stats, then doc_line_dedup /
     # doc_length_deciles / q_events_funnel / q_copurchase_pairs /
-    # kg_upsert_audit / q_user_retention); all
+    # kg_upsert_audit / q_user_retention / kg_triangles /
+    # q_event_transitions); all
     # tail entries remain verified type-strict by the local oracle
     # harness at sf0.001 AND sf0.01 every test run. Gate:
     # tests/test_queries_oracle.py::test_registry_fits_driver_grade_cap.
@@ -994,6 +1180,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_copurchase_pairs": q_copurchase_pairs,
     "kg_upsert_audit": kg_upsert_audit,
     "q_user_retention": q_user_retention,
+    "kg_triangles": kg_triangles,
+    "q_event_transitions": q_event_transitions,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1014,6 +1202,8 @@ TAIL_UNGRADED = (
     "q_copurchase_pairs",
     "kg_upsert_audit",
     "q_user_retention",
+    "kg_triangles",
+    "q_event_transitions",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

@@ -19,6 +19,9 @@ from kgeng.queries.corpus import (
     PAGERANK_ITERS as _PR_ITERS,
     PAGERANK_SCALE as _PR_SCALE,
     PAGERANK_TOPK as _PR_TOPK,
+    TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
+    TRIANGLE_SEED as _TRIANGLE_SEED,
+    TRIANGLE_TOPK as _TRIANGLE_TOPK,
 )
 
 # Shared KG derivation (mirrors kgeng.graph.kgview, with the reordered
@@ -234,6 +237,71 @@ def _simhash_sql() -> str:
         SELECT doc_a, doc_b, {hamming} AS hamming FROM cands
     ) WHERE hamming <= 6
     """
+
+def _kg_triangles_sql(budget: int) -> str:
+    """Triangle census twin: the same colorful-sampling + degree-
+    ordered-orientation algebra as ``corpus.kg_triangles``. The color
+    shift s is derived in SQL from ``COUNT(*)`` with the identical
+    integer ladder as ``corpus.triangle_color_shift`` (smallest s with
+    2·n ≤ budget·4^s, capped at 15); parts survive iff their keyed-md5
+    basis-point bucket < 10000 >> s; then pack (degree, id) into one
+    bigint, orient every edge low→high, wedge-join on the source,
+    close on the pair. Budget-parameterized so tests can force the
+    sampled path on tiny corpora."""
+    bucket = _hex_to_int_sql(
+        f"substr(md5('{_TRIANGLE_SEED}|' || CAST(l_partkey AS VARCHAR)), 1, 7)",
+        7,
+    )
+    return f"""
+    WITH sh AS (
+      SELECT COALESCE(MIN(s), 15) AS s FROM range(0, 16) t(s)
+      WHERE 2 * (SELECT COUNT(*) FROM lineitem)
+              <= {budget} * (CAST(1 AS BIGINT) << (2 * s))
+    ),
+    li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem, sh
+      WHERE s = 0 OR ({bucket} % 10000) < (10000 >> s)
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT p, COUNT(*) AS d
+      FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+      GROUP BY p
+    ),
+    o AS (
+      SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+             CASE WHEN ku < kv THEN v ELSE u END AS dst,
+             GREATEST(ku, kv) AS kdst
+      FROM (
+        SELECT e.u, e.v,
+               du.d * 10000000000 + e.u AS ku,
+               dv.d * 10000000000 + e.v AS kv
+        FROM e
+        JOIN deg du ON du.p = e.u
+        JOIN deg dv ON dv.p = e.v
+      )
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1
+      JOIN o e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    parts AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b AS part FROM tri
+      UNION ALL SELECT c AS part FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM parts GROUP BY part
+    ORDER BY n_triangles DESC, part ASC
+    LIMIT {_TRIANGLE_TOPK}
+    """
+
 
 ORACLES: dict[str, str] = {
     # -- training-data ops ------------------------------------------------
@@ -1298,5 +1366,27 @@ ORACLES: dict[str, str] = {
     FROM d JOIN f USING (user_id)
     WHERE day - cohort_day <= 7
     GROUP BY 1, 2
+    """,
+    "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
+    "q_event_transitions": """
+    WITH lagd AS (
+      SELECT event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM lagd WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (
+      SELECT prev_type, SUM(n_transitions) AS prev_total
+      FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n_transitions,
+           CAST(p.n_transitions * 10000 // t.prev_total AS BIGINT) AS prob_bp
+    FROM pairs p JOIN tot t USING (prev_type)
     """,
 }

@@ -486,3 +486,44 @@ def test_retention_joins_on_the_user_key(spark):
     assert "Left keys [1]: [user_id#" in plan, plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_triangle_orientation_and_joins_are_keyed(spark):
+    """Triangle census scale shape: the basket self-join is keyed on
+    the order, the orientation joins on the endpoints, and (after the
+    checkpoints) the wedge join is an equi-join on the SOURCE vertex
+    with the closure probe an equi-join on the (b, c) pair — no
+    cartesian anywhere, participation fan-out is explode."""
+    from kgeng.queries.corpus import (
+        _copurchase_edges,
+        _orient_by_degree,
+        kg_triangles,
+    )
+
+    build = plan_of(_orient_by_degree(_copurchase_edges(spark, SF_DIR)))
+    assert "CartesianProduct" not in build
+    assert "Left keys [1]: [ok#" in build, build  # basket self-join
+    assert "Left keys [1]: [u#" in build, build   # degree-key joins
+    assert "Left keys [1]: [v#" in build, build
+
+    plan = plan_of(kg_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Left keys [1]: [src#" in plan, plan   # wedge join
+    assert "Left keys [2]: [b#" in plan, plan     # pair-closure join
+    assert "explode(array" in plan, plan          # participation fan-out
+
+
+def test_transitions_event_table_shuffles_exactly_once(spark):
+    """Markov transitions: the lag window partitions by the USER key
+    (per-task input is events-per-user, never corpus size), the
+    normalizing totals are a window-sum over the <=|types|^2 counted
+    rows — NO join, so the expensive lag subtree appears exactly once
+    (a totals join would re-execute it: the repo's no-reuse trap)."""
+    from kgeng.queries.corpus import q_event_transitions
+
+    plan = plan_of(q_event_transitions(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2, tree  # lag + tiny totals-sum
+    assert "Join" not in tree, tree
+    assert plan.count("hashpartitioning(user_id#") == 1, plan
+    assert "CartesianProduct" not in plan

@@ -141,3 +141,39 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"part_id", "n_orders"}
+
+
+def test_triangle_color_shift_ladder():
+    """Exact at graded SFs, derived sampling beyond: the induced
+    edge estimate 2n/4^s must land inside the budget at any scale,
+    and the ladder is integer-only (no float log boundaries)."""
+    from kgeng.queries.corpus import TRIANGLE_EDGE_BUDGET, triangle_color_shift
+
+    assert triangle_color_shift(6_000) == 0      # sf0.001 exact
+    assert triangle_color_shift(60_000) == 0     # sf0.01 exact (driver)
+    assert triangle_color_shift(600_000) == 2    # sf0.1 samples 1/4
+    for n in (10**6, 10**9, 10**12, 10**15):
+        s = triangle_color_shift(n)
+        assert 2 * n <= TRIANGLE_EDGE_BUDGET << (2 * s) or s == 15, n
+    assert [triangle_color_shift(n) for n in (0, 1)] == [0, 0]
+
+
+def test_triangles_sampled_path_matches_oracle(spark, con):
+    """Force the colorful-sampling path on the tiny corpus (budget
+    1024 -> shift 2 at sf0.001) and hold the full type-strict parity
+    bar — proves the sampled subgraph, not just the exact one, is
+    engine-identical."""
+    from kgeng.queries.corpus import kg_triangles, triangle_color_shift
+    from kgeng.io.scanmeta import parquet_rows
+    from kgeng.queries.oracles import _kg_triangles_sql
+
+    budget = 1 << 10
+    assert triangle_color_shift(
+        parquet_rows(f"{SF_DIR}/lineitem.parquet"), budget
+    ) >= 1
+    report = compare(
+        kg_triangles(spark, SF_DIR, budget), con, _kg_triangles_sql(budget)
+    )
+    assert report["cols_match"], report
+    assert report["rows_match"], report
+    assert report["values_match"], report
