@@ -706,6 +706,56 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 3
+LPA_TOPK = 20
+
+
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (community
+    detection) over the undirected derived KG: every node starts
+    labeled with its own id; each round it adopts its neighbors' most
+    frequent label, ties broken by the lexicographically smallest —
+    the deterministic variant of LPA (Raghavan et al. 2007), so both
+    engines converge identically with no randomness. Reports the
+    top-K communities by size.
+
+    Scale shape: the edge projection is localCheckpointed ONCE (the
+    kg_pagerank lineage medicine) and each round is one shuffle join
+    of adjacency against the current labels plus TWO map-side-combined
+    aggregations — (node, label) counts, then a ``min_by`` over
+    ``struct(-count, label)`` for the arg-max — so a hub's million
+    neighbor votes collapse in partial aggregates and no per-node
+    vote list or window ever materializes. Every node in the derived
+    node set has ≥1 neighbor (it IS the edge endpoint set), so the
+    vote output covers all nodes and labels chain with linear
+    lineage, one reference per round."""
+    e = (
+        kg_edges(spark, sf_dir)
+        .select("subject", "object")
+        .localCheckpoint(eager=False)
+    )
+    adj = e.select(
+        F.col("subject").alias("nbr"), F.col("object").alias("id")
+    ).unionByName(
+        e.select(F.col("object").alias("nbr"), F.col("subject").alias("id"))
+    )
+    labels = adj.select("id").distinct().withColumn("lbl", F.col("id"))
+    for _ in range(LPA_ITERS):
+        labels = (
+            adj.join(labels.withColumnsRenamed({"id": "nbr"}), "nbr")
+            .groupBy("id", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(LPA_TOPK)
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view → click → purchase): per stage,
     the number of users who reached it in order (each stage's event
@@ -1166,7 +1216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (doc_tfidf_top_terms, doc_pack_stats, then doc_line_dedup /
     # doc_length_deciles / q_events_funnel / q_copurchase_pairs /
     # kg_upsert_audit / q_user_retention / kg_triangles /
-    # q_event_transitions); all
+    # q_event_transitions / kg_label_propagation); all
     # tail entries remain verified type-strict by the local oracle
     # harness at sf0.001 AND sf0.01 every test run. Gate:
     # tests/test_queries_oracle.py::test_registry_fits_driver_grade_cap.
@@ -1182,6 +1232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_user_retention": q_user_retention,
     "kg_triangles": kg_triangles,
     "q_event_transitions": q_event_transitions,
+    "kg_label_propagation": kg_label_propagation,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1204,6 +1255,7 @@ TAIL_UNGRADED = (
     "q_user_retention",
     "kg_triangles",
     "q_event_transitions",
+    "kg_label_propagation",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

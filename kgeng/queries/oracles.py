@@ -19,6 +19,8 @@ from kgeng.queries.corpus import (
     PAGERANK_ITERS as _PR_ITERS,
     PAGERANK_SCALE as _PR_SCALE,
     PAGERANK_TOPK as _PR_TOPK,
+    LPA_ITERS as _LPA_ITERS,
+    LPA_TOPK as _LPA_TOPK,
     TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
     TRIANGLE_SEED as _TRIANGLE_SEED,
     TRIANGLE_TOPK as _TRIANGLE_TOPK,
@@ -301,6 +303,42 @@ def _kg_triangles_sql(budget: int) -> str:
     ORDER BY n_triangles DESC, part ASC
     LIMIT {_TRIANGLE_TOPK}
     """
+
+
+def _kg_lpa_sql() -> str:
+    """Label-propagation twin: the KG_PRELUDE graph, LPA_ITERS
+    unrolled synchronous rounds (vote = neighbor-label counts,
+    winner = QUALIFY row 1 by count DESC / label ASC — the same
+    deterministic tie order as the Spark side's min_by over
+    struct(-count, label)), then community sizes top-K."""
+    parts = [
+        """
+    , adj AS (
+      SELECT subject AS nbr, object AS id FROM edges
+      UNION ALL
+      SELECT object AS nbr, subject AS id FROM edges
+    ),
+    l0 AS (SELECT DISTINCT id, id AS lbl FROM adj)"""
+    ]
+    for i in range(_LPA_ITERS):
+        parts.append(f""",
+    v{i + 1} AS (
+      SELECT a.id, l.lbl, COUNT(*) AS cnt
+      FROM adj a JOIN l{i} l ON a.nbr = l.id
+      GROUP BY a.id, l.lbl
+    ),
+    l{i + 1} AS (
+      SELECT id, lbl FROM v{i + 1}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY cnt DESC, lbl ASC
+      ) = 1
+    )""")
+    parts.append(f"""
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ITERS} GROUP BY lbl
+    ORDER BY n_nodes DESC, community ASC
+    LIMIT {_LPA_TOPK}""")
+    return KG_PRELUDE + "".join(parts)
 
 
 ORACLES: dict[str, str] = {
@@ -1368,6 +1406,7 @@ ORACLES: dict[str, str] = {
     GROUP BY 1, 2
     """,
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
+    "kg_label_propagation": _kg_lpa_sql(),
     "q_event_transitions": """
     WITH lagd AS (
       SELECT event_type AS next_type,

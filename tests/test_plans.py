@@ -527,3 +527,18 @@ def test_transitions_event_table_shuffles_exactly_once(spark):
     assert "Join" not in tree, tree
     assert plan.count("hashpartitioning(user_id#") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_lpa_votes_aggregate_map_side_no_window(spark):
+    """Label propagation hub safety: the per-node arg-max is a
+    partial-combinable min_by AGGREGATE (a hub's million votes
+    collapse map-side), never a per-node window or vote list; every
+    adjacency join is an equi-join on the neighbor key."""
+    from kgeng.queries.corpus import kg_label_propagation
+
+    plan = plan_of(kg_label_propagation(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "CartesianProduct" not in plan
+    assert "partial_min_by" in plan, plan
+    assert "Left keys [1]: [nbr#" in plan, plan
