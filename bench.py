@@ -151,6 +151,7 @@ HEADLINE = [
     "kg_triangles",
     "q_event_transitions",
     "kg_label_propagation",
+    "kg_link_prediction",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on

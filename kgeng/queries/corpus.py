@@ -1065,6 +1065,62 @@ def _orient_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+LINKPRED_TOPK = 20  # report size (product constant)
+# MODEL constant, not a scale knob: wedge centers above this degree are
+# dropped entirely — a hub shared by everything carries no pairwise
+# signal (the Adamic-Adar downweighting rationale taken to its cheap
+# deterministic limit), and C(deg, 2) fanout on hubs is exactly the
+# skew that kills common-neighbor mining. The SCALE knob is the
+# colorful sampling inherited from _copurchase_edges.
+LINKPRED_DEGREE_CAP = 128
+
+
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph:
+    the top-K part pairs NOT yet co-purchased that share the most
+    co-purchase partners — the classic "customers who bought these
+    also bought" recommendation candidate set.
+
+    Scale shape: wedge enumeration is a self-join of the adjacency on
+    the CENTER vertex, with centers above ``LINKPRED_DEGREE_CAP``
+    dropped first (identically on both engines) so per-center fanout
+    is ≤ C(cap, 2) regardless of hubs; the underlying edge set is the
+    color-sampled, budget-bounded co-purchase projection; candidate
+    counts are map-side combined; existing edges leave via a
+    LeftAnti equi-join; top-K is a distributed TakeOrderedAndProject
+    merge. The capped adjacency feeds both self-join legs — lazily
+    localCheckpointed so its degree filter runs once."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(
+        F.col("u").alias("ctr"), F.col("v").alias("nb")
+    ).unionByName(edges.select(F.col("v").alias("ctr"), F.col("u").alias("nb")))
+    deg = adj.groupBy("ctr").agg(F.count("*").alias("dg"))
+    small = (
+        adj.join(deg.filter(F.col("dg") <= LINKPRED_DEGREE_CAP), "ctr")
+        .select("ctr", "nb")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        small.alias("a")
+        .join(small.alias("b"), "ctr")
+        .filter(F.col("a.nb") < F.col("b.nb"))
+        .groupBy(F.col("a.nb").alias("pa"), F.col("b.nb").alias("pb"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = pairs.join(
+        edges,
+        (pairs["pa"] == edges["u"]) & (pairs["pb"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(F.col("n_common").desc(), "pa", "pb")
+        .limit(LINKPRED_TOPK)
+        .select(
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_common"
+        )
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over the event stream: for every
     (prev event type → next event type) pair of consecutive events of
@@ -1233,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": kg_triangles,
     "q_event_transitions": q_event_transitions,
     "kg_label_propagation": kg_label_propagation,
+    "kg_link_prediction": kg_link_prediction,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1256,6 +1313,7 @@ TAIL_UNGRADED = (
     "kg_triangles",
     "q_event_transitions",
     "kg_label_propagation",
+    "kg_link_prediction",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

@@ -19,6 +19,8 @@ from kgeng.queries.corpus import (
     PAGERANK_ITERS as _PR_ITERS,
     PAGERANK_SCALE as _PR_SCALE,
     PAGERANK_TOPK as _PR_TOPK,
+    LINKPRED_DEGREE_CAP as _LINKPRED_DEGREE_CAP,
+    LINKPRED_TOPK as _LINKPRED_TOPK,
     LPA_ITERS as _LPA_ITERS,
     LPA_TOPK as _LPA_TOPK,
     TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
@@ -240,16 +242,12 @@ def _simhash_sql() -> str:
     ) WHERE hamming <= 6
     """
 
-def _kg_triangles_sql(budget: int) -> str:
-    """Triangle census twin: the same colorful-sampling + degree-
-    ordered-orientation algebra as ``corpus.kg_triangles``. The color
-    shift s is derived in SQL from ``COUNT(*)`` with the identical
+def _copurchase_edges_sql(budget: int) -> str:
+    """Shared CTE prelude for the co-purchase graph family: the color
+    shift ``s`` derived in SQL from ``COUNT(*)`` with the identical
     integer ladder as ``corpus.triangle_color_shift`` (smallest s with
-    2·n ≤ budget·4^s, capped at 15); parts survive iff their keyed-md5
-    basis-point bucket < 10000 >> s; then pack (degree, id) into one
-    bigint, orient every edge low→high, wedge-join on the source,
-    close on the pair. Budget-parameterized so tests can force the
-    sampled path on tiny corpora."""
+    2·n ≤ budget·4^s, capped at 15), the sampled lineitem projection,
+    and the distinct (u < v) edge set."""
     bucket = _hex_to_int_sql(
         f"substr(md5('{_TRIANGLE_SEED}|' || CAST(l_partkey AS VARCHAR)), 1, 7)",
         7,
@@ -268,7 +266,47 @@ def _kg_triangles_sql(budget: int) -> str:
     e AS (
       SELECT DISTINCT a.pk AS u, b.pk AS v
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    )"""
+
+
+def _kg_linkpred_sql(budget: int, cap: int) -> str:
+    """Common-neighbor link-prediction twin: same capped-center wedge
+    algebra as ``corpus.kg_link_prediction`` over the shared sampled
+    co-purchase edge set; existing edges leave via NOT EXISTS."""
+    return f"""{_copurchase_edges_sql(budget)},
+    adj AS (
+      SELECT u AS ctr, v AS nb FROM e
+      UNION ALL SELECT v AS ctr, u AS nb FROM e
     ),
+    deg AS (SELECT ctr, COUNT(*) AS dg FROM adj GROUP BY ctr),
+    small AS (
+      SELECT a.ctr, a.nb FROM adj a JOIN deg d ON d.ctr = a.ctr
+      WHERE d.dg <= {cap}
+    ),
+    pairs AS (
+      SELECT a.nb AS pa, b.nb AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM small a JOIN small b ON a.ctr = b.ctr AND a.nb < b.nb
+      GROUP BY a.nb, b.nb
+    )
+    SELECT pa AS part_a, pb AS part_b, n_common
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.pa AND e.v = p.pb)
+    ORDER BY n_common DESC, pa ASC, pb ASC
+    LIMIT {_LINKPRED_TOPK}
+    """
+
+
+def _kg_triangles_sql(budget: int) -> str:
+    """Triangle census twin: the same colorful-sampling + degree-
+    ordered-orientation algebra as ``corpus.kg_triangles``. The color
+    shift s is derived in SQL from ``COUNT(*)`` with the identical
+    integer ladder as ``corpus.triangle_color_shift`` (smallest s with
+    2·n ≤ budget·4^s, capped at 15); parts survive iff their keyed-md5
+    basis-point bucket < 10000 >> s; then pack (degree, id) into one
+    bigint, orient every edge low→high, wedge-join on the source,
+    close on the pair. Budget-parameterized so tests can force the
+    sampled path on tiny corpora."""
+    return f"""{_copurchase_edges_sql(budget)},
     deg AS (
       SELECT p, COUNT(*) AS d
       FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
@@ -1407,6 +1445,9 @@ ORACLES: dict[str, str] = {
     """,
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
     "kg_label_propagation": _kg_lpa_sql(),
+    "kg_link_prediction": _kg_linkpred_sql(
+        _TRIANGLE_EDGE_BUDGET, _LINKPRED_DEGREE_CAP
+    ),
     "q_event_transitions": """
     WITH lagd AS (
       SELECT event_type AS next_type,

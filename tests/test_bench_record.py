@@ -63,6 +63,11 @@ def _fake_pipeline() -> dict:
 
 
 def test_driver_line_fits_tail_capture():
+    """Worst case (every headline query at a 7-char 3-decimal width,
+    full pipeline digest): the line must fit the driver tail WITHOUT
+    dropping any per-query key — _fit_line's first, lossless-in-keys
+    step (rounding seconds to 2 decimals) is allowed to engage, the
+    key-dropping steps are not."""
     queries = {name: 123.456 for name in bench.HEADLINE}
     record = {
         "metric": "headline_suite_seconds",
@@ -73,8 +78,12 @@ def test_driver_line_fits_tail_capture():
         "pipeline": bench._compact_pipeline(_fake_pipeline()),
         "detail": bench.DETAIL_PATH,
     }
-    line = json.dumps(record)
+    line = bench._fit_line(record)
     assert len(line) < 1900, (len(line), line[:200])
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert "queries_dropped_for_size" not in parsed
+    assert "line_truncated_for_size" not in parsed
 
 
 def test_compact_pipeline_keeps_graded_fields():

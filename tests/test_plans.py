@@ -542,3 +542,19 @@ def test_lpa_votes_aggregate_map_side_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "partial_min_by" in plan, plan
     assert "Left keys [1]: [nbr#" in plan, plan
+
+
+def test_linkpred_wedges_capped_and_anti_joined(spark):
+    """Common-neighbor mining: the wedge self-join is an equi-join on
+    the CENTER vertex over the degree-capped adjacency (hub fanout
+    bounded by C(cap, 2)); existing edges leave via a LeftAnti
+    equi-join on the pair — no cartesian, no window."""
+    from kgeng.queries.corpus import kg_link_prediction
+
+    plan = plan_of(kg_link_prediction(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert "Window" not in tree, tree
+    assert "Left keys [1]: [ctr#" in plan, plan
+    assert "LeftAnti" in tree, tree
+    assert "Left keys [2]: [pa#" in plan, plan
