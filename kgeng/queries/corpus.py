@@ -710,6 +710,21 @@ LPA_ITERS = 3
 LPA_TOPK = 20
 
 
+def lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts its
+    neighbors' most frequent label, ties to the lexicographically
+    smallest. ``adj`` is (nbr, id) directed both ways; ``labels`` is
+    (id, lbl). The arg-max is a partial-combinable ``min_by`` over
+    ``struct(-count, label)`` — hub votes collapse map-side."""
+    return (
+        adj.join(labels.withColumnsRenamed({"id": "nbr"}), "nbr")
+        .groupBy("id", "lbl")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl"))
+    )
+
+
 def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration synchronous label propagation (community
     detection) over the undirected derived KG: every node starts
@@ -741,13 +756,7 @@ def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = adj.select("id").distinct().withColumn("lbl", F.col("id"))
     for _ in range(LPA_ITERS):
-        labels = (
-            adj.join(labels.withColumnsRenamed({"id": "nbr"}), "nbr")
-            .groupBy("id", "lbl")
-            .agg(F.count("*").alias("cnt"))
-            .groupBy("id")
-            .agg(F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl"))
-        )
+        labels = lpa_round(adj, labels)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count("*").alias("n_nodes"))
@@ -1091,12 +1100,24 @@ def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge. The capped adjacency feeds both self-join legs — lazily
     localCheckpointed so its degree filter runs once."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    return link_candidates_from_edges(edges)
+
+
+def link_candidates_from_edges(
+    edges: DataFrame,
+    cap: int = LINKPRED_DEGREE_CAP,
+    topk: int = LINKPRED_TOPK,
+) -> DataFrame:
+    """Common-neighbor candidates from an undirected (u < v) edge
+    DataFrame — the capped-center wedge algebra of
+    :func:`kg_link_prediction`, factored at the edge-set level so
+    crafted graphs can drive its semantics directly."""
     adj = edges.select(
         F.col("u").alias("ctr"), F.col("v").alias("nb")
     ).unionByName(edges.select(F.col("v").alias("ctr"), F.col("u").alias("nb")))
     deg = adj.groupBy("ctr").agg(F.count("*").alias("dg"))
     small = (
-        adj.join(deg.filter(F.col("dg") <= LINKPRED_DEGREE_CAP), "ctr")
+        adj.join(deg.filter(F.col("dg") <= cap), "ctr")
         .select("ctr", "nb")
         .localCheckpoint(eager=False)
     )
@@ -1114,7 +1135,7 @@ def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.orderBy(F.col("n_common").desc(), "pa", "pb")
-        .limit(LINKPRED_TOPK)
+        .limit(topk)
         .select(
             F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_common"
         )

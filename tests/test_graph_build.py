@@ -146,3 +146,58 @@ def test_upsert_nodes_merge_semantics(spark):
         "5": (None, "insert"),    # all-NULL payload still inserts
         "6": ("f", "noop"),       # NULL delta cell keeps + noop
     }
+
+
+def test_lpa_round_vote_and_tiebreak_semantics(spark):
+    """One LPA round on a crafted star+chord graph: counts win, ties
+    fall to the lexicographically smallest label, and chaining a
+    second round consumes the first's labels (sync semantics)."""
+    from pyspark.sql import functions as F
+
+    from kgeng.queries.corpus import lpa_round
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c")],
+        "u string, v string",
+    )
+    adj = edges.select(
+        F.col("u").alias("nbr"), F.col("v").alias("id")
+    ).unionByName(
+        edges.select(F.col("v").alias("nbr"), F.col("u").alias("id"))
+    )
+    l0 = adj.select("id").distinct().withColumn("lbl", F.col("id"))
+    l1 = lpa_round(adj, l0)
+    assert {r["id"]: r["lbl"] for r in l1.collect()} == {
+        "a": "b",  # 3-way tie b/c/d -> lexicographic min
+        "b": "a",  # tie a/c -> a
+        "c": "a",
+        "d": "a",  # only neighbor
+    }
+    l2 = lpa_round(adj, l1)
+    assert {r["id"]: r["lbl"] for r in l2.collect()} == {
+        "a": "a",  # majority of b/c/d now carry 'a'
+        "b": "a",
+        "c": "a",
+        "d": "b",  # its only neighbor a was relabeled 'b' in round 1
+    }
+
+
+def test_link_candidates_cap_drops_hub_centers(spark):
+    """Crafted path+hub graph at cap=3: the degree-4 hub contributes
+    NO wedges as a center (its C(4,2) fanout is the skew the cap
+    kills), hub-incident pairs are existing edges and leave via the
+    anti-join, and the surviving candidates count only capped-center
+    evidence."""
+    from kgeng.queries.corpus import link_candidates_from_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 9), (2, 9), (3, 9), (4, 9)],
+        "u long, v long",
+    )
+    got = {
+        (r["part_a"], r["part_b"]): r["n_common"]
+        for r in link_candidates_from_edges(edges, cap=3).collect()
+    }
+    # with the hub allowed as a center, (1,3) would count 2 and
+    # (1,4)/(2,4) would gain hub-mediated evidence
+    assert got == {(1, 3): 1, (2, 4): 1}
