@@ -622,7 +622,13 @@ def _compact_pipeline(pipeline: dict) -> dict:
         return {}
     out: dict = {"primary": pair_digest(pipeline)}
     for k, v in pipeline.items():
-        if k.startswith("pair_"):
+        # the *_skipped markers are plain strings and must be routed
+        # BEFORE the pair_ prefix match: "pair_2_8_skipped" would
+        # otherwise reach pair_digest, whose .items() on a string
+        # killed the graded record (session code review)
+        if k.endswith("_skipped"):
+            out[k] = v
+        elif k.startswith("pair_") and isinstance(v, dict):
             out[k] = pair_digest(v)
         elif k.startswith("cpu_twin_"):
             out[k] = {"eff": v.get("scaling_efficiency")}
@@ -632,8 +638,6 @@ def _compact_pipeline(pipeline: dict) -> dict:
             # stored under a non-"local*" key so the primary pair's
             # digest (which sweeps localN entries) never absorbs it
             out["local8"] = {"s8": v["seconds"], "tps8": v["triples_per_sec"]}
-        elif k.endswith("_skipped"):
-            out[k] = v
     return out
 
 

@@ -878,7 +878,12 @@ def kg_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit is a map-side-combined groupBy on the 4-value action key."""
     from kgeng.graph.maintenance import upsert_nodes
 
-    nodes = kg_nodes(spark, sf_dir).select("id", "name")
+    # snapshot + both delta rules derive from the 7-branch kg_nodes
+    # union; checkpoint so the full-outer MERGE references it once,
+    # not three lineage re-executions (the repo's no-reuse trap)
+    nodes = (
+        kg_nodes(spark, sf_dir).select("id", "name").localCheckpoint(eager=False)
+    )
     upd = nodes.filter(F.substring(F.md5("id"), 1, 1) == "0").select(
         "id", F.upper("name").alias("name")
     )

@@ -23,6 +23,7 @@ from kgeng.queries.corpus import (
     LINKPRED_TOPK as _LINKPRED_TOPK,
     LPA_ITERS as _LPA_ITERS,
     LPA_TOPK as _LPA_TOPK,
+    RETENTION_HORIZON_DAYS as _RETENTION_DAYS,
     TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
     TRIANGLE_SEED as _TRIANGLE_SEED,
     TRIANGLE_TOPK as _TRIANGLE_TOPK,
@@ -1431,7 +1432,7 @@ ORACLES: dict[str, str] = {
            MIN(id) AS min_id, MAX(id) AS max_id
     FROM m GROUP BY action
     """,
-    "q_user_retention": """
+    "q_user_retention": f"""
     WITH d AS (
       SELECT user_id, CAST(ts AS DATE) AS day FROM events
     ),
@@ -1440,7 +1441,7 @@ ORACLES: dict[str, str] = {
            CAST(day - cohort_day AS INT) AS day_offset,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM d JOIN f USING (user_id)
-    WHERE day - cohort_day <= 7
+    WHERE day - cohort_day <= {_RETENTION_DAYS}
     GROUP BY 1, 2
     """,
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),

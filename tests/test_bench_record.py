@@ -112,9 +112,14 @@ def test_compact_pipeline_keeps_local8_point_and_skip_markers():
     # primary eff was computed over its own two levels only (the r5
     # shakedown line carried a spurious s8/tps8 inside "primary")
     assert "s8" not in c["primary"] and "tps8" not in c["primary"]
-    c2 = bench._compact_pipeline({"local8_skipped": "deadline", "pair2_skipped": "deadline"})
+    # the EXACT keys bench.py emits today — "pair_2_8_skipped" starts
+    # with "pair_" and must reach the string pass-through, never
+    # pair_digest (whose .items() on the string crashed the record)
+    c2 = bench._compact_pipeline(
+        {"local8_skipped": "deadline", "pair_2_8_skipped": "deadline"}
+    )
     assert c2["local8_skipped"] == "deadline"
-    assert c2["pair2_skipped"] == "deadline"
+    assert c2["pair_2_8_skipped"] == "deadline"
 
 
 def test_fit_line_degrades_until_it_fits():
