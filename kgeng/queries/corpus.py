@@ -706,6 +706,80 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_BINS = 5
+RFM_M_GRID = 100  # monetary quantile grid: hundred-currency-unit cells
+
+
+def _rfm_scores(per: DataFrame, col: str, alias: str) -> DataFrame:
+    """Exact rank-based 1..RFM_BINS score for each distinct value of
+    ``col`` — the doc_length_deciles idiom: collapse to a VALUE
+    HISTOGRAM first, so the single-task cumulative window's input is
+    bounded by the value support (days / order counts / price-grid
+    cells), never the customer count. score = 1 + ⌊bins·below/total⌋
+    in pure integer arithmetic."""
+    h = per.groupBy(col).agg(F.count("*").alias("n_v"))
+    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    return h.select(
+        col,
+        F.coalesce(F.sum("n_v").over(w_cum), F.lit(0)).alias("cb"),
+        F.sum("n_v").over(w_all).alias("tot"),
+    ).select(
+        col,
+        (1 + F.expr(f"({RFM_BINS} * cb) div tot")).cast("int").alias(alias),
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1..5 on Recency (days
+    since last order, vs the corpus's max order date), Frequency
+    (order count) and Monetary (total spend on a hundred-unit grid),
+    by EXACT rank quintiles; reports customer counts per (r, f, m)
+    segment — the standard marketing/cohort cube, ≤ bins³ rows.
+
+    Scale shape: one map-side-combined per-customer aggregate (spend
+    summed as decimal(18,2) so the sum is EXACT and partial-agg
+    order-independent — a double sum would drift per run and per
+    engine), localCheckpointed once for its four consumers; each
+    score dimension collapses to a bounded value histogram before its
+    single-task cumulative window (the doc_length_deciles idiom —
+    window input is value support, never customer count), and the
+    three score maps broadcast back onto the customer aggregate as
+    equi-joins. The reference date is a 1-row broadcast."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    ref = o.agg(F.max("d").alias("refd"))
+    per = (
+        o.groupBy("c")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").alias("fq"),
+            F.sum("p").alias("spend"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c",
+            F.datediff("refd", "last_d").alias("rec"),
+            "fq",
+            F.floor(F.col("spend") / RFM_M_GRID).cast("long").alias("mg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rs = _rfm_scores(per, "rec", "r_score")
+    fs = _rfm_scores(per, "fq", "f_score")
+    ms = _rfm_scores(per, "mg", "m_score")
+    return (
+        per.join(F.broadcast(rs), "rec")
+        .join(F.broadcast(fs), "fq")
+        .join(F.broadcast(ms), "mg")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 LPA_ITERS = 3
 LPA_TOPK = 20
 
@@ -1316,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "kg_label_propagation": kg_label_propagation,
     "kg_link_prediction": kg_link_prediction,
+    "q_customer_rfm": q_customer_rfm,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1340,6 +1415,7 @@ TAIL_UNGRADED = (
     "q_event_transitions",
     "kg_label_propagation",
     "kg_link_prediction",
+    "q_customer_rfm",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

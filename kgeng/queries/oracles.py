@@ -24,6 +24,8 @@ from kgeng.queries.corpus import (
     LPA_ITERS as _LPA_ITERS,
     LPA_TOPK as _LPA_TOPK,
     RETENTION_HORIZON_DAYS as _RETENTION_DAYS,
+    RFM_BINS as _RFM_BINS,
+    RFM_M_GRID as _RFM_M_GRID,
     TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
     TRIANGLE_SEED as _TRIANGLE_SEED,
     TRIANGLE_TOPK as _TRIANGLE_TOPK,
@@ -341,6 +343,48 @@ def _kg_triangles_sql(budget: int) -> str:
     FROM parts GROUP BY part
     ORDER BY n_triangles DESC, part ASC
     LIMIT {_TRIANGLE_TOPK}
+    """
+
+
+def _rfm_score_sql(src: str, col: str, alias: str) -> str:
+    """One RFM dimension's (value → 1..bins score) map: histogram,
+    cumulative-below window over the bounded value support, integer
+    rank-quintile arithmetic — mirrors ``corpus._rfm_scores``."""
+    return f"""(
+      SELECT {col},
+             CAST(1 + ({_RFM_BINS} * COALESCE(SUM(n_v) OVER (
+                        ORDER BY {col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0)) // (SUM(n_v) OVER ()) AS INT) AS {alias}
+      FROM (SELECT {col}, COUNT(*) AS n_v FROM {src} GROUP BY {col})
+    )"""
+
+
+def _q_customer_rfm_sql() -> str:
+    """RFM twin: decimal-exact spend sums, integer day/grid values,
+    the same histogram rank-quintile arithmetic per dimension."""
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    ),
+    ref AS (SELECT MAX(d) AS refd FROM o),
+    per AS (
+      SELECT c,
+             CAST((SELECT refd FROM ref) - MAX(d) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS fq,
+             CAST(FLOOR(SUM(p) / {_RFM_M_GRID}) AS BIGINT) AS mg
+      FROM o GROUP BY c
+    ),
+    rs AS {_rfm_score_sql("per", "rec", "r_score")},
+    fs AS {_rfm_score_sql("per", "fq", "f_score")},
+    ms AS {_rfm_score_sql("per", "mg", "m_score")}
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per
+    JOIN rs USING (rec) JOIN fs USING (fq) JOIN ms USING (mg)
+    GROUP BY r_score, f_score, m_score
     """
 
 
@@ -1446,6 +1490,7 @@ ORACLES: dict[str, str] = {
     """,
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
     "kg_label_propagation": _kg_lpa_sql(),
+    "q_customer_rfm": _q_customer_rfm_sql(),
     "kg_link_prediction": _kg_linkpred_sql(
         _TRIANGLE_EDGE_BUDGET, _LINKPRED_DEGREE_CAP
     ),

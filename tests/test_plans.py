@@ -558,3 +558,20 @@ def test_linkpred_wedges_capped_and_anti_joined(spark):
     assert "Left keys [1]: [ctr#" in plan, plan
     assert "LeftAnti" in tree, tree
     assert "Left keys [2]: [pa#" in plan, plan
+
+
+def test_rfm_windows_over_histograms_and_broadcast_score_maps(spark):
+    """RFM: each dimension's cumulative window runs over a VALUE
+    HISTOGRAM (input bounded by value support, never customer count —
+    the deciles idiom), and the three <=support-row score maps come
+    back as BroadcastHashJoins on the value keys. The per-customer
+    aggregate is checkpointed once for its four consumers."""
+    from kgeng.queries.corpus import q_customer_rfm
+
+    plan = plan_of(q_customer_rfm(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 6, tree  # (cum + total) x 3 dims
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "CartesianProduct" not in plan
+    # no window is ever partitioned or ordered by the customer key
+    assert "windowspecdefinition(c#" not in plan, plan
