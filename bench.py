@@ -153,6 +153,8 @@ HEADLINE = [
     "kg_label_propagation",
     "kg_link_prediction",
     "q_customer_rfm",
+    "q_revenue_rollup",
+    "q_revenue_rolling",
     # dedup_cluster_assign is graded for correctness but not benched:
     # its CC driver loop (~6 localCheckpoint+collect rounds) measures
     # this host's 32-thread scheduler stall windows (38-138 s swings on

@@ -706,6 +706,80 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate (the ROLLUP surface): order revenue and
+    counts at (region, nation), per-region subtotal, and grand-total
+    levels in ONE pass — the OLAP drill-down cube every BI layer
+    expects. Revenue is summed as decimal(18,2) and reported in
+    integer CENTS (exact, partial-agg-order-independent, no
+    cross-engine float drift); subtotal markers are coalesced to
+    'ALL' so no NULL-key semantics leak into the comparison.
+
+    Scale shape: Spark expands ROLLUP into a single Expand + one
+    map-side-combined aggregation — the fact table is read and
+    shuffled once for all three levels; the two dimension joins
+    broadcast."""
+    cust = read_table(spark, sf_dir, "customer")
+    natn = read_table(spark, sf_dir, "nation")
+    regn = read_table(spark, sf_dir, "region")
+    ordr = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    return (
+        ordr.join(cust, ordr["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(natn), cust["c_nationkey"] == natn["n_nationkey"])
+        .join(F.broadcast(regn), natn["n_regionkey"] == regn["r_regionkey"])
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum("p") * 100).cast("long").alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("region", F.lit("ALL")).alias("region"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window time series: daily order revenue plus its
+    ``ROLLING_WINDOW_DAYS``-calendar-day trailing sum — the moving
+    aggregate behind every trend dashboard. A RANGE frame over the
+    integer epoch day keeps the window CALENDAR-correct across gap
+    days (a ROWS frame would silently span gaps). Cents are exact
+    integers.
+
+    Scale shape: the corpus collapses to one row per DAY (map-side
+    combined) before the single-task cumulative window — window input
+    is bounded by the date span, never the order count (the deciles
+    idiom for time series)."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg(
+            (F.sum("p") * 100).cast("long").alias("day_revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-(ROLLING_WINDOW_DAYS - 1), 0)
+    return daily.select(
+        "day",
+        "day_revenue_cents",
+        "n_orders",
+        F.sum("day_revenue_cents").over(w).alias("trailing_revenue_cents"),
+    )
+
+
 RFM_BINS = 5
 RFM_M_GRID = 100  # monetary quantile grid: hundred-currency-unit cells
 
@@ -1391,6 +1465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_label_propagation": kg_label_propagation,
     "kg_link_prediction": kg_link_prediction,
     "q_customer_rfm": q_customer_rfm,
+    "q_revenue_rollup": q_revenue_rollup,
+    "q_revenue_rolling": q_revenue_rolling,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1416,6 +1492,8 @@ TAIL_UNGRADED = (
     "kg_label_propagation",
     "kg_link_prediction",
     "q_customer_rfm",
+    "q_revenue_rollup",
+    "q_revenue_rolling",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

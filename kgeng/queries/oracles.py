@@ -26,6 +26,7 @@ from kgeng.queries.corpus import (
     RETENTION_HORIZON_DAYS as _RETENTION_DAYS,
     RFM_BINS as _RFM_BINS,
     RFM_M_GRID as _RFM_M_GRID,
+    ROLLING_WINDOW_DAYS,
     TRIANGLE_EDGE_BUDGET as _TRIANGLE_EDGE_BUDGET,
     TRIANGLE_SEED as _TRIANGLE_SEED,
     TRIANGLE_TOPK as _TRIANGLE_TOPK,
@@ -1491,6 +1492,38 @@ ORACLES: dict[str, str] = {
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
     "kg_label_propagation": _kg_lpa_sql(),
     "q_customer_rfm": _q_customer_rfm_sql(),
+    "q_revenue_rollup": """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "q_revenue_rolling": f"""
+    WITH daily AS (
+      SELECT day, day_revenue_cents, n_orders,
+             CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS day_revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      )
+    )
+    SELECT day, day_revenue_cents, n_orders,
+           CAST(SUM(day_revenue_cents) OVER (
+             ORDER BY epoch_day
+             RANGE BETWEEN {ROLLING_WINDOW_DAYS - 1} PRECEDING
+                       AND CURRENT ROW
+           ) AS BIGINT) AS trailing_revenue_cents
+    FROM daily
+    """,
     "kg_link_prediction": _kg_linkpred_sql(
         _TRIANGLE_EDGE_BUDGET, _LINKPRED_DEGREE_CAP
     ),

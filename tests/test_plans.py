@@ -575,3 +575,33 @@ def test_rfm_windows_over_histograms_and_broadcast_score_maps(spark):
     assert "CartesianProduct" not in plan
     # no window is ever partitioned or ordered by the customer key
     assert "windowspecdefinition(c#" not in plan, plan
+
+
+def test_rollup_is_one_expand_one_aggregation(spark):
+    """ROLLUP must compile to a single Expand feeding ONE map-side-
+    combined aggregation — the fact table is read and shuffled once
+    for all three levels; dimensions broadcast."""
+    from kgeng.queries.corpus import q_revenue_rollup
+
+    plan = plan_of(q_revenue_rollup(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1, tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "CartesianProduct" not in plan
+    assert "orders.parquet" in plan and plan.count("Scan parquet") <= 8, plan
+
+
+def test_rolling_window_runs_over_daily_rows(spark):
+    """The trailing-sum window's input must be the DAILY collapse
+    (bounded by the date span), never per-order rows: exactly one
+    Window, fed by the partial+final daily HashAggregates, with a
+    RANGE frame on the integer epoch day."""
+    from kgeng.queries.corpus import q_revenue_rolling
+
+    plan = plan_of(q_revenue_rolling(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    after = tree[tree.index("Window"):]
+    assert after.count("HashAggregate") >= 2, tree
+    assert "RangeFrame" in plan, plan
+    assert "CartesianProduct" not in plan
