@@ -784,15 +784,23 @@ RFM_BINS = 5
 RFM_M_GRID = 100  # monetary quantile grid: hundred-currency-unit cells
 
 
-def _rfm_scores(per: DataFrame, col: str, alias: str) -> DataFrame:
+def _rfm_scores(
+    per: DataFrame, col: str, alias: str, descending: bool = False
+) -> DataFrame:
     """Exact rank-based 1..RFM_BINS score for each distinct value of
     ``col`` — the doc_length_deciles idiom: collapse to a VALUE
     HISTOGRAM first, so the single-task cumulative window's input is
     bounded by the value support (days / order counts / price-grid
     cells), never the customer count. score = 1 + ⌊bins·below/total⌋
-    in pure integer arithmetic."""
+    in pure integer arithmetic; ``descending`` ranks small values
+    highest (recency: fewest days since last order ⇒ score 5). NULLS
+    LAST is explicit so engine NULL-ordering defaults can never
+    diverge (values here are provably non-null; belt and braces)."""
     h = per.groupBy(col).agg(F.count("*").alias("n_v"))
-    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    order = (
+        F.col(col).desc_nulls_last() if descending else F.col(col).asc_nulls_last()
+    )
+    w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy()
     return h.select(
         col,
@@ -809,7 +817,9 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     since last order, vs the corpus's max order date), Frequency
     (order count) and Monetary (total spend on a hundred-unit grid),
     by EXACT rank quintiles; reports customer counts per (r, f, m)
-    segment — the standard marketing/cohort cube, ≤ bins³ rows.
+    segment — the standard marketing/cohort cube, ≤ bins³ rows, with
+    the conventional orientation (5-5-5 = recent, frequent, high
+    spend: recency ranks DESCENDING, fewest days ⇒ 5).
 
     Scale shape: one map-side-combined per-customer aggregate (spend
     summed as decimal(18,2) so the sum is EXACT and partial-agg
@@ -825,15 +835,20 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
     )
-    ref = o.agg(F.max("d").alias("refd"))
-    per = (
+    base = (
         o.groupBy("c")
         .agg(
             F.max("d").alias("last_d"),
             F.count("*").alias("fq"),
             F.sum("p").alias("spend"),
         )
-        .crossJoin(F.broadcast(ref))
+        .localCheckpoint(eager=False)
+    )
+    # the reference date is max(last_d) over the per-customer rows —
+    # identical to max over orders, without a second orders scan
+    ref = base.agg(F.max("last_d").alias("refd"))
+    per = (
+        base.crossJoin(F.broadcast(ref))
         .select(
             "c",
             F.datediff("refd", "last_d").alias("rec"),
@@ -842,7 +857,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    rs = _rfm_scores(per, "rec", "r_score")
+    rs = _rfm_scores(per, "rec", "r_score", descending=True)
     fs = _rfm_scores(per, "fq", "f_score")
     ms = _rfm_scores(per, "mg", "m_score")
     return (
@@ -1473,8 +1488,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver compares exactly this many registry entries per round
-# (head of the dict, insertion order). Keep every unique-operator query
-# above the tail marker so CORRECTNESS_r{N} carries a row for it.
+# (head of the dict, insertion order). The head window filled in
+# round 6, so the tail is no longer purely coverage-redundant: it
+# also holds post-window operator additions (triangles, LPA, link
+# prediction, RFM, rollup, rolling, …). Those have no driver
+# correctness row; their evidence is the local type-strict twin of
+# the driver comparison, run at sf0.001 every pytest and swept at
+# sf0.01/sf0.1 (COVERAGE.md header). Promoting one into the head
+# means evicting a §2-inventory demo — a deliberate trade, not a
+# default.
 DRIVER_GRADE_CAP = 50
 TAIL_UNGRADED = (
     "doc_token_stats",

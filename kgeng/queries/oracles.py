@@ -347,14 +347,19 @@ def _kg_triangles_sql(budget: int) -> str:
     """
 
 
-def _rfm_score_sql(src: str, col: str, alias: str) -> str:
+def _rfm_score_sql(
+    src: str, col: str, alias: str, descending: bool = False
+) -> str:
     """One RFM dimension's (value → 1..bins score) map: histogram,
     cumulative-below window over the bounded value support, integer
-    rank-quintile arithmetic — mirrors ``corpus._rfm_scores``."""
+    rank-quintile arithmetic — mirrors ``corpus._rfm_scores``
+    (recency DESC: fewest days ⇒ highest score; NULLS LAST explicit
+    on both engines)."""
+    direction = "DESC NULLS LAST" if descending else "ASC NULLS LAST"
     return f"""(
       SELECT {col},
              CAST(1 + ({_RFM_BINS} * COALESCE(SUM(n_v) OVER (
-                        ORDER BY {col}
+                        ORDER BY {col} {direction}
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                       ), 0)) // (SUM(n_v) OVER ()) AS INT) AS {alias}
       FROM (SELECT {col}, COUNT(*) AS n_v FROM {src} GROUP BY {col})
@@ -378,7 +383,7 @@ def _q_customer_rfm_sql() -> str:
              CAST(FLOOR(SUM(p) / {_RFM_M_GRID}) AS BIGINT) AS mg
       FROM o GROUP BY c
     ),
-    rs AS {_rfm_score_sql("per", "rec", "r_score")},
+    rs AS {_rfm_score_sql("per", "rec", "r_score", descending=True)},
     fs AS {_rfm_score_sql("per", "fq", "f_score")},
     ms AS {_rfm_score_sql("per", "mg", "m_score")}
     SELECT r_score, f_score, m_score,

@@ -34,9 +34,11 @@ def test_registry_fits_driver_grade_cap():
     """The external driver grades only the FIRST ``DRIVER_GRADE_CAP``
     registry entries (CORRECTNESS_r05 had exactly 50 rows for 53
     registered — q_events_attrib silently got no correctness row in
-    round 5). Every query NOT on the documented coverage-redundant
-    tail must sit inside the graded window, and the tail must actually
-    be the tail."""
+    round 5). Every query NOT on the DOCUMENTED tail must sit inside
+    the graded window, and the tail must actually be the tail. The
+    tail holds coverage-redundant demos plus post-window operator
+    additions (see the TAIL_UNGRADED comment) — the gate's job is
+    that nothing falls out of the window UNDOCUMENTED."""
     from kgeng.queries.corpus import DRIVER_GRADE_CAP, TAIL_UNGRADED
 
     order = list(QUERIES)
@@ -177,3 +179,23 @@ def test_triangles_sampled_path_matches_oracle(spark, con):
     assert report["cols_match"], report
     assert report["rows_match"], report
     assert report["values_match"], report
+
+
+def test_rfm_score_direction_semantics(spark):
+    """Conventional RFM orientation: DESCENDING recency ranks the
+    SMALLEST value (fewest days since last order) into the top bin,
+    ascending ranks the largest value top — 5-5-5 = champions."""
+    from kgeng.queries.corpus import RFM_BINS, _rfm_scores
+
+    per = spark.createDataFrame([(v,) for v in range(1, 11)], "rec long")
+    asc = {r["rec"]: r["s"] for r in _rfm_scores(per, "rec", "s").collect()}
+    desc = {
+        r["rec"]: r["s"]
+        for r in _rfm_scores(per, "rec", "s", descending=True).collect()
+    }
+    assert asc[1] == 1 and asc[10] == RFM_BINS
+    assert desc[1] == RFM_BINS and desc[10] == 1
+    # exact rank quintiles: two values per bin at n=10
+    assert sorted(asc.values()) == sorted(desc.values()) == [
+        b for b in range(1, RFM_BINS + 1) for _ in (0, 1)
+    ]
