@@ -780,6 +780,40 @@ def q_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed pivot column set: a pivot's OUTPUT SCHEMA must not depend on
+# which types happen to appear in a partition of the data, so the
+# domain is declared (unknown future types are excluded identically on
+# both engines rather than silently widening the schema).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix pivot: one row per day, one count column per
+    declared event type — the wide-format activity matrix dashboards
+    ingest directly.
+
+    Scale shape: ``pivot`` with an EXPLICIT value list compiles to a
+    single map-side-combined aggregation over the day key (each task
+    folds its events into per-day count vectors before the shuffle);
+    no per-type scan, no join, schema fixed at plan time. The DuckDB
+    twin is the equivalent conditional aggregation."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
 RFM_BINS = 5
 RFM_M_GRID = 100  # monetary quantile grid: hundred-currency-unit cells
 
@@ -1482,6 +1516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_customer_rfm": q_customer_rfm,
     "q_revenue_rollup": q_revenue_rollup,
     "q_revenue_rolling": q_revenue_rolling,
+    "q_events_pivot": q_events_pivot,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
@@ -1516,6 +1551,7 @@ TAIL_UNGRADED = (
     "q_customer_rfm",
     "q_revenue_rollup",
     "q_revenue_rolling",
+    "q_events_pivot",
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",

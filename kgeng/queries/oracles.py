@@ -1497,6 +1497,16 @@ ORACLES: dict[str, str] = {
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
     "kg_label_propagation": _kg_lpa_sql(),
     "q_customer_rfm": _q_customer_rfm_sql(),
+    "q_events_pivot": """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+    FROM events GROUP BY 1
+    """,
     "q_revenue_rollup": """
     SELECT COALESCE(r_name, 'ALL') AS region,
            COALESCE(n_name, 'ALL') AS nation,

@@ -605,3 +605,19 @@ def test_rolling_window_runs_over_daily_rows(spark):
     assert after.count("HashAggregate") >= 2, tree
     assert "RangeFrame" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_two_mapside_aggregations_no_join(spark):
+    """The daily event-mix pivot must compile to the standard
+    two-phase pivot plan: per-(day, type) partial counts, then a
+    pivotfirst fold onto the day key — both map-side combined, the
+    second exchange carrying only the counted rows. No join, no
+    window, no per-type scan."""
+    from kgeng.queries.corpus import q_events_pivot
+
+    plan = plan_of(q_events_pivot(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "pivotfirst" in plan, plan
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree and "Window" not in tree, tree
+    assert plan.count("Scan parquet") == 2, plan  # tree + detail: ONE scan
