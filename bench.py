@@ -115,8 +115,9 @@ HEADLINE = [
     "kg_degree0_audit",
     "kg_build_audit",
     "kg_counts",
-    # analytics (q_revenue_by_nation stays registered/graded but is
-    # not benched: its 3-join+agg plan shape is subsumed by
+    # analytics (q_revenue_by_nation stays registered — tail entry,
+    # verified by the local oracle twin, no driver row — but is not
+    # benched: its 3-join+agg plan shape is subsumed by
     # q_revenue_rollup, and the driver-line byte budget holds 53
     # two-digit-seconds queries at most — see
     # test_driver_line_fits_tail_capture)

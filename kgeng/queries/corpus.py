@@ -887,7 +887,13 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.datediff("refd", "last_d").alias("rec"),
             "fq",
-            F.floor(F.col("spend") / RFM_M_GRID).cast("long").alias("mg"),
+            # grid cell via INTEGER-CENTS div: exact on both engines
+            # (DuckDB evaluates decimal division in double, where a
+            # boundary floor could theoretically flip at extreme
+            # magnitudes — integer div has no such path)
+            F.expr(
+                f"cast(spend * 100 as bigint) div {RFM_M_GRID * 100}"
+            ).alias("mg"),
         )
         .localCheckpoint(eager=False)
     )

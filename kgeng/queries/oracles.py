@@ -380,7 +380,7 @@ def _q_customer_rfm_sql() -> str:
       SELECT c,
              CAST((SELECT refd FROM ref) - MAX(d) AS BIGINT) AS rec,
              CAST(COUNT(*) AS BIGINT) AS fq,
-             CAST(FLOOR(SUM(p) / {_RFM_M_GRID}) AS BIGINT) AS mg
+             CAST(SUM(p) * 100 AS BIGINT) // {_RFM_M_GRID * 100} AS mg
       FROM o GROUP BY c
     ),
     rs AS {_rfm_score_sql("per", "rec", "r_score", descending=True)},
