@@ -432,8 +432,20 @@ def pipeline_attempt(
         print(f"[bench] pipeline cpus={cpus}: TIMEOUT after {timeout}s", file=sys.stderr, flush=True)
         return None
     if r.returncode != 0:
+        # Full child stderr goes to a file — the inline 2KB tail only
+        # ever shows the Spark shutdown-hook trace, never the root
+        # cause (learned from a run-J local[1] failure whose real
+        # error was scrolled off by the teardown stack).
+        fail_log = os.path.join(REPO, "bench_out", f"pipe_fail_cpus{cpus}.log")
+        os.makedirs(os.path.dirname(fail_log), exist_ok=True)
+        with open(fail_log, "w") as fh:
+            fh.write(r.stderr or "")
         tail = (r.stderr or "")[-2000:]
-        print(f"[bench] pipeline cpus={cpus}: rc={r.returncode}\n{tail}", file=sys.stderr, flush=True)
+        print(
+            f"[bench] pipeline cpus={cpus}: rc={r.returncode} "
+            f"(full stderr: {fail_log})\n{tail}",
+            file=sys.stderr, flush=True,
+        )
         return None
     lines = r.stdout.strip().splitlines()
     try:
