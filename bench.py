@@ -416,6 +416,31 @@ def pipeline_once(cpus: int, n_pages: int = BENCH_PAGES) -> dict:
     }
 
 
+def dump_fail_log(tag: str, text: str | bytes | None) -> str | None:
+    """APPEND a failed child's full stderr to
+    ``bench_out/pipe_fail_{tag}.log`` — the inline 2KB tail only ever
+    shows the Spark shutdown-hook trace, never the root cause (learned
+    from a run-J local[1] failure whose real error was scrolled off by
+    the teardown stack). Append + header so interleaved retry rounds
+    at the same level never clobber the first failure's root cause.
+    Best-effort: a logging error (disk full — likely exactly when a
+    child failed) must never break the caller's "None on any failure"
+    contract."""
+    if not text:
+        return None
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", "replace")
+    path = os.path.join(REPO, "bench_out", f"pipe_fail_{tag}.log")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as fh:
+            fh.write(f"\n===== failed attempt, wall {round(time.time())} =====\n")
+            fh.write(text)
+        return path
+    except OSError:
+        return None
+
+
 def pipeline_attempt(
     cpus: int, timeout: int = 2400, n_pages: int = BENCH_PAGES
 ) -> dict | None:
@@ -428,18 +453,18 @@ def pipeline_attempt(
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        print(f"[bench] pipeline cpus={cpus}: TIMEOUT after {timeout}s", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired as e:
+        # the stall-then-timeout class needs diagnostics too: the
+        # exception carries whatever stderr the child produced
+        fail_log = dump_fail_log(f"cpus{cpus}", e.stderr)
+        print(
+            f"[bench] pipeline cpus={cpus}: TIMEOUT after {timeout}s"
+            + (f" (partial stderr: {fail_log})" if fail_log else ""),
+            file=sys.stderr, flush=True,
+        )
         return None
     if r.returncode != 0:
-        # Full child stderr goes to a file — the inline 2KB tail only
-        # ever shows the Spark shutdown-hook trace, never the root
-        # cause (learned from a run-J local[1] failure whose real
-        # error was scrolled off by the teardown stack).
-        fail_log = os.path.join(REPO, "bench_out", f"pipe_fail_cpus{cpus}.log")
-        os.makedirs(os.path.dirname(fail_log), exist_ok=True)
-        with open(fail_log, "w") as fh:
-            fh.write(r.stderr or "")
+        fail_log = dump_fail_log(f"cpus{cpus}", r.stderr)
         tail = (r.stderr or "")[-2000:]
         print(
             f"[bench] pipeline cpus={cpus}: rc={r.returncode} "

@@ -74,7 +74,11 @@ def run_one(n_execs: int, cores: int, mem_mb: int, pages: int) -> dict:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    os.environ.setdefault("KGENG_EXECUTOR_MEM", f"{mem_mb}m")
+    # authoritative, not setdefault: a stale KGENG_EXECUTOR_MEM from
+    # the shell (test_cluster.py exports one) would request executor
+    # heap the local-cluster workers' mem_mb can't grant — executors
+    # never register and the child burns its whole timeout
+    os.environ["KGENG_EXECUTOR_MEM"] = f"{mem_mb}m"
     spark = get_spark(
         "kgeng-cluster-pair",
         master=f"local-cluster[{n_execs},{cores},{mem_mb}]",
@@ -102,17 +106,28 @@ def _attempt(n_execs: int, args, timeout: int = 2400) -> dict | None:
         "--pages", str(args.pages), "--cores", str(args.cores),
         "--mem-mb", str(args.mem_mb),
     ]
+    # bench.dump_fail_log: append-mode full-stderr capture — the same
+    # root-cause-preservation contract as bench.pipeline_attempt
+    sys.path.insert(0, REPO)
+    import bench
+
     try:
         r = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO, timeout=timeout
         )
-    except subprocess.TimeoutExpired:
-        print(f"[clusterbench] execs={n_execs}: TIMEOUT", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        log = bench.dump_fail_log(f"execs{n_execs}", e.stderr)
+        print(
+            f"[clusterbench] execs={n_execs}: TIMEOUT"
+            + (f" (partial stderr: {log})" if log else ""),
+            file=sys.stderr,
+        )
         return None
     if r.returncode != 0:
+        log = bench.dump_fail_log(f"execs{n_execs}", r.stderr)
         print(
-            f"[clusterbench] execs={n_execs}: rc={r.returncode}\n"
-            + (r.stderr or "")[-2000:],
+            f"[clusterbench] execs={n_execs}: rc={r.returncode} "
+            f"(full stderr: {log})\n" + (r.stderr or "")[-2000:],
             file=sys.stderr,
         )
         return None

@@ -310,3 +310,57 @@ def test_emit_partial_is_silent_in_forked_children():
     )
     assert r.returncode == 1
     assert r.stdout.strip() == ""
+
+
+def test_pipeline_attempt_dumps_full_stderr_on_failure(tmp_path, monkeypatch):
+    """A failed pipeline child must leave its WHOLE stderr in
+    bench_out/pipe_fail_cpus{N}.log — the inline 2KB tail only ever
+    shows the Spark shutdown-hook trace (run J: a local[1] attempt
+    died rc=1 and the root cause was scrolled off before capture).
+    Retries at the same level APPEND (the first failure's root cause
+    must survive later, more boring failures), and the
+    stall-then-TIMEOUT class is captured too via TimeoutExpired's
+    partial stderr."""
+    import subprocess as sp
+
+    root_cause = "RootCauseError: python worker crashed\n"
+    long_err = root_cause + ("at shutdown.hook(Frame.scala)\n" * 200)
+
+    def fake_run(cmd, **kw):
+        return sp.CompletedProcess(cmd, returncode=1, stdout="", stderr=long_err)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    assert bench.pipeline_attempt(1, timeout=10) is None
+    log = tmp_path / "bench_out" / "pipe_fail_cpus1.log"
+    assert root_cause in log.read_text()
+    assert long_err.strip().split("\n")[-1] in log.read_text()  # full, not tail
+
+    # second failure at the same level appends — first root cause survives
+    def fake_run2(cmd, **kw):
+        return sp.CompletedProcess(cmd, returncode=1, stdout="", stderr="boring teardown\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run2)
+    assert bench.pipeline_attempt(1, timeout=10) is None
+    text = log.read_text()
+    assert root_cause in text and "boring teardown" in text
+
+    # timeout path: partial stderr from the exception is captured (bytes)
+    def fake_run3(cmd, **kw):
+        raise sp.TimeoutExpired(cmd, 10, output=b"", stderr=b"stalled at stage X\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run3)
+    assert bench.pipeline_attempt(2, timeout=10) is None
+    assert "stalled at stage X" in (tmp_path / "bench_out" / "pipe_fail_cpus2.log").read_text()
+
+
+def test_dump_fail_log_is_best_effort(tmp_path, monkeypatch):
+    """An unwritable bench_out must not break the 'None on any
+    failure' contract — the helper returns None instead of raising."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path / "missing"))
+    monkeypatch.setattr(bench.os, "makedirs", _raise_oserror)
+    assert bench.dump_fail_log("cpus1", "boom") is None
+
+
+def _raise_oserror(*a, **kw):
+    raise OSError(28, "No space left on device")
