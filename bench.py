@@ -118,8 +118,9 @@ HEADLINE = [
     # analytics (q_revenue_by_nation stays registered — tail entry,
     # verified by the local oracle twin, no driver row — but is not
     # benched: its 3-join+agg plan shape is subsumed by
-    # q_revenue_rollup, and the driver-line byte budget holds 53
-    # two-digit-seconds queries at most — see
+    # q_revenue_rollup, and the worst-case driver line is ~16 bytes
+    # under the 1900-byte bound at the current 52 entries — a 53rd
+    # fits only with a very short name; see
     # test_driver_line_fits_tail_capture)
     "q_pricing_summary",
     "q_top_parts_per_brand",

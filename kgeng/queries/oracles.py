@@ -15,6 +15,7 @@ parquet files Spark reads.
 from __future__ import annotations
 
 from kgeng.queries.corpus import (
+    EVENT_TYPES as _EVENT_TYPES,
     PAGERANK_BASE as _PR_BASE,
     PAGERANK_ITERS as _PR_ITERS,
     PAGERANK_SCALE as _PR_SCALE,
@@ -1497,16 +1498,15 @@ ORACLES: dict[str, str] = {
     "kg_triangles": _kg_triangles_sql(_TRIANGLE_EDGE_BUDGET),
     "kg_label_propagation": _kg_lpa_sql(),
     "q_customer_rfm": _q_customer_rfm_sql(),
-    "q_events_pivot": """
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
-           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
-           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
-               AS n_purchase,
-           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
-           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
-    FROM events GROUP BY 1
-    """,
+    # FILTER columns generated from the SAME declared domain the Spark
+    # pivot uses (corpus.EVENT_TYPES) — an edit there cannot silently
+    # leave the oracle listing a stale type set
+    "q_events_pivot": "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
     "q_revenue_rollup": """
     SELECT COALESCE(r_name, 'ALL') AS region,
            COALESCE(n_name, 'ALL') AS nation,
