@@ -1396,6 +1396,133 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── frontier / peeling iteration shapes ──────────────────────────────
+BFS_MAX_DEPTH = 3  # REGN ← NATN ← {CUST, SUPP} ← ORDR spans the KG
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def bfs_expand(e: DataFrame, frontier: DataFrame, visited_ids: DataFrame) -> DataFrame:
+    """One frontier expansion: neighbors of the CURRENT frontier along
+    ``e`` (src → dst), deduped map-side, minus everything already
+    visited (left-anti on id). Work is proportional to the frontier's
+    edge boundary — the visited set is only ever an anti-join probe,
+    never a join partner that re-expands."""
+    return (
+        e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(visited_ids, "id", "left_anti")
+    )
+
+
+def kg_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance (min hop count) from the region seed
+    nodes over REVERSED KG edges, depth ≤ ``BFS_MAX_DEPTH``, reported
+    as per-(level, node class) counts — the reachability/radius audit
+    behind Cypher's variable-length `*1..k` expansion (the reference's
+    property-graph targets serve it via MATCH path patterns; no batch
+    twin in the reference, so this is the engine-side surface).
+    DuckDB twin: ``WITH RECURSIVE`` walk + ``MIN(level)``.
+
+    Scale shape: the reversed edge projection is localCheckpointed
+    ONCE (the kg_pagerank lineage medicine — each of the D frontier
+    expansions would otherwise re-execute the 7-branch union). Each
+    level is one shuffle join of the edge list against the CURRENT
+    FRONTIER ONLY (never the visited set), a map-side-combined
+    distinct, and a left-anti join against visited — so per-level work
+    is proportional to the frontier's edge boundary, the textbook
+    frontier-BFS shape. Frontier and visited are checkpointed per
+    level to keep lineage linear. Output is ≤ (D+1) × |classes| rows;
+    on a cluster the checkpoints are persisted tables."""
+    e = (
+        kg_edges(spark, sf_dir)
+        .select(F.col("object").alias("src"), F.col("subject").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = kg_nodes(spark, sf_dir)
+    seeds = nodes.filter(F.col("id").startswith("REGN:")).select("id")
+    visited = seeds.select("id", F.lit(0).cast("int").alias("level"))
+    frontier = seeds.localCheckpoint(eager=False)
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        frontier = bfs_expand(e, frontier, visited.select("id")).localCheckpoint(
+            eager=False
+        )
+        visited = visited.unionByName(
+            frontier.select("id", F.lit(depth).cast("int").alias("level"))
+        ).localCheckpoint(eager=False)
+    lookup = node_class_lookup(nodes)
+    return (
+        visited.join(lookup, "id")
+        .groupBy("level", "node_class")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def kcore_keepers(sym: DataFrame) -> DataFrame:
+    """Nodes of the symmetric edge list with degree ≥ KCORE_K — one
+    map-side-combined count (hub degrees collapse in the partial
+    aggregate) plus a post-aggregation filter."""
+    return (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= KCORE_K)
+        .select(F.col("src").alias("id"))
+    )
+
+
+def kcore_restrict(sym: DataFrame, keep: DataFrame) -> DataFrame:
+    """Edges of ``sym`` whose BOTH endpoints survive in ``keep`` — two
+    keyed equi-joins against the (shrinking) keeper set."""
+    return (
+        sym.join(keep.withColumnRenamed("id", "src"), "src")
+        .join(keep.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+    )
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop
+    nodes whose UNDIRECTED degree is < ``KCORE_K`` (``KCORE_ROUNDS``
+    synchronous rounds — the deterministic bounded variant both
+    engines can mirror exactly; DuckDB twin is the same rounds as
+    chained CTEs), then report survivors per node class — the
+    dense-subgraph audit used to pick hub/skew handling before a KG
+    build.
+
+    Scale shape: the symmetric deduped edge list is localCheckpointed
+    once; each peeling round is one map-side-combined degree count
+    (hub degrees collapse in partial aggregates) plus two equi-joins
+    of the edge list against the shrinking keeper set (keyed on each
+    endpoint, AQE-backstopped), and the round's edge survivor set is
+    checkpointed so lineage stays linear — work per round is
+    proportional to the SURVIVING edge count, which only shrinks.
+    Monotonicity makes the fixed round count a safe approximation
+    anywhere and exact where peeling has converged."""
+    e_dir = kg_edges(spark, sf_dir).select("subject", "object").distinct()
+    sym = (
+        e_dir.select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+        .unionByName(
+            e_dir.select(F.col("object").alias("src"), F.col("subject").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for r in range(KCORE_ROUNDS):
+        # keep feeds BOTH endpoint joins of the next round — checkpoint
+        # it so the degree aggregate isn't re-executed per consumer
+        # (the CLAUDE.md lineage-reuse trap)
+        keep = kcore_keepers(sym).localCheckpoint(eager=False)
+        if r < KCORE_ROUNDS - 1:
+            sym = kcore_restrict(sym, keep).localCheckpoint(eager=False)
+    lookup = node_class_lookup(kg_nodes(spark, sf_dir))
+    return (
+        keep.join(lookup, "id")
+        .groupBy("node_class")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 from kgeng.streaming.events import q_events_json, q_events_sessions  # noqa: E402
 from kgeng.textops.analysis import (  # noqa: E402
     doc_bpe_tokens,
@@ -1536,6 +1663,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_daily": q_events_daily,
     "q_order_priority_counts": q_order_priority_counts,
+    "kg_bfs_levels": kg_bfs_levels,
+    "kg_kcore": kg_kcore,
 }
 
 # The driver compares exactly this many registry entries per round
@@ -1571,4 +1700,6 @@ TAIL_UNGRADED = (
     "q_revenue_by_nation",
     "q_events_daily",
     "q_order_priority_counts",
+    "kg_bfs_levels",
+    "kg_kcore",
 )

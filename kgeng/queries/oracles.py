@@ -15,7 +15,10 @@ parquet files Spark reads.
 from __future__ import annotations
 
 from kgeng.queries.corpus import (
+    BFS_MAX_DEPTH as _BFS_DEPTH,
     EVENT_TYPES as _EVENT_TYPES,
+    KCORE_K as _KCORE_K,
+    KCORE_ROUNDS as _KCORE_ROUNDS,
     PAGERANK_BASE as _PR_BASE,
     PAGERANK_ITERS as _PR_ITERS,
     PAGERANK_SCALE as _PR_SCALE,
@@ -428,6 +431,70 @@ def _kg_lpa_sql() -> str:
     FROM l{_LPA_ITERS} GROUP BY lbl
     ORDER BY n_nodes DESC, community ASC
     LIMIT {_LPA_TOPK}""")
+    return KG_PRELUDE + "".join(parts)
+
+
+def _kg_bfs_sql() -> str:
+    """Multi-source BFS twin: a recursive walk over REVERSED edges
+    from the region seeds, bounded at BFS_MAX_DEPTH hops, with the
+    level being MIN(lvl) over all discovered paths — DuckDB's working
+    table carries only the previous iteration's rows, so this is the
+    same frontier expansion the Spark side runs, minus the visited-set
+    pruning (the MIN collapse makes the extra paths harmless)."""
+    return (
+        KG_PRELUDE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+        + f""",
+    walk AS (
+      SELECT id, 0 AS lvl FROM nodes WHERE id LIKE 'REGN:%'
+      UNION ALL
+      SELECT e.subject AS id, w.lvl + 1 AS lvl
+      FROM walk w JOIN edges e ON e.object = w.id
+      WHERE w.lvl < {_BFS_DEPTH}
+    ),
+    lv AS (SELECT id, MIN(lvl) AS level FROM walk GROUP BY id)
+    SELECT CAST(level AS INT) AS level,
+           n.category_reordered[1] AS node_class,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lv JOIN nodes n USING (id)
+    GROUP BY 1, 2
+    """
+    )
+
+
+def _kg_kcore_sql() -> str:
+    """k-core peeling twin: KCORE_ROUNDS unrolled rounds as chained
+    CTEs — symmetric deduped edge list, per-round degree HAVING
+    filter, edges restricted to the keeper set on BOTH endpoints.
+    Survivors are the FINAL round's keeper set (same semantics as the
+    Spark side's last `keep`)."""
+    parts = [
+        """
+    , sym0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT subject AS src, object AS dst FROM edges
+        UNION ALL
+        SELECT object AS src, subject AS dst FROM edges
+      )
+    )"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(f""",
+    k{i + 1} AS (
+      SELECT src AS id FROM sym{i}
+      GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+    )""")
+        if i < _KCORE_ROUNDS - 1:
+            parts.append(f""",
+    sym{i + 1} AS (
+      SELECT s.src, s.dst FROM sym{i} s
+      JOIN k{i + 1} a ON s.src = a.id
+      JOIN k{i + 1} b ON s.dst = b.id
+    )""")
+    parts.append(f"""
+    SELECT n.category_reordered[1] AS node_class,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM k{_KCORE_ROUNDS} k JOIN nodes n ON k.id = n.id
+    GROUP BY 1""")
     return KG_PRELUDE + "".join(parts)
 
 
@@ -1563,4 +1630,6 @@ ORACLES: dict[str, str] = {
            CAST(p.n_transitions * 10000 // t.prev_total AS BIGINT) AS prob_bp
     FROM pairs p JOIN tot t USING (prev_type)
     """,
+    "kg_bfs_levels": _kg_bfs_sql(),
+    "kg_kcore": _kg_kcore_sql(),
 }

@@ -201,3 +201,64 @@ def test_link_candidates_cap_drops_hub_centers(spark):
     # with the hub allowed as a center, (1,3) would count 2 and
     # (1,4)/(2,4) would gain hub-mediated evidence
     assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_bfs_expand_min_level_and_no_revisit(spark):
+    """bfs_expand on a crafted diamond-with-back-edge: the frontier
+    never re-admits visited nodes (the back edge to the seed is
+    pruned), converging branches dedup to one row, and chaining
+    expansions walks strict hop levels."""
+    from kgeng.queries.corpus import bfs_expand
+
+    # s -> a, s -> b, a -> c, b -> c (diamond), c -> s (back edge)
+    e = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "s")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "id string")
+    f1 = bfs_expand(e, seeds, seeds)
+    assert sorted(r["id"] for r in f1.collect()) == ["a", "b"]
+    visited = seeds.unionByName(f1)
+    f2 = bfs_expand(e, f1, visited)
+    assert [r["id"] for r in f2.collect()] == ["c"]  # deduped diamond
+    visited = visited.unionByName(f2)
+    f3 = bfs_expand(e, f2, visited)
+    assert f3.collect() == []  # back edge c->s pruned by the anti-join
+
+
+def test_kcore_peeling_cascade_removes_hub_keeps_clique(spark):
+    """k-core round kernels (K=4) on a crafted 5-clique plus a fake
+    hub: x touches e and three degree-1 pendants, so x SURVIVES round
+    1 on raw degree 4 and dies in round 2 ONLY because round 1 peeled
+    its pendants — the cascade that distinguishes true peeling from a
+    one-shot degree filter (a regression that recomputes degrees off
+    the ORIGINAL edge list keeps x forever). The clique survives every
+    round."""
+    from kgeng.queries.corpus import KCORE_K, kcore_keepers, kcore_restrict
+
+    assert KCORE_K == 4  # crafted degrees below assume the engine's K
+    clique = [
+        (u, v)
+        for u in ("a", "b", "c", "d", "e")
+        for v in ("a", "b", "c", "d", "e")
+        if u < v
+    ]
+    # x: deg 4 (e + three pendants); pendants: deg 1; e: deg 5
+    edges = spark.createDataFrame(
+        clique + [("e", "x"), ("x", "p1"), ("x", "p2"), ("x", "p3")],
+        "u string, v string",
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+    k1 = kcore_keepers(sym)
+    assert sorted(r["id"] for r in k1.collect()) == ["a", "b", "c", "d", "e", "x"]
+    sym1 = kcore_restrict(sym, k1)
+    assert sym1.count() == (len(clique) + 1) * 2  # clique + e-x survive
+    k2 = kcore_keepers(sym1)
+    # cascade: x's surviving degree is 1 (only e), so it peels now
+    assert sorted(r["id"] for r in k2.collect()) == ["a", "b", "c", "d", "e"]
+    sym2 = kcore_restrict(sym1, k2)
+    k3 = kcore_keepers(sym2)
+    assert sorted(r["id"] for r in k3.collect()) == ["a", "b", "c", "d", "e"]

@@ -621,3 +621,68 @@ def test_pivot_is_two_mapside_aggregations_no_join(spark):
     assert tree.count("Exchange") == 2, tree
     assert "Join" not in tree and "Window" not in tree, tree
     assert plan.count("Scan parquet") == 2, plan  # tree + detail: ONE scan
+
+
+def test_bfs_expansion_is_frontier_keyed_and_anti_joined(spark):
+    """kg_bfs_levels scale gates. The factored per-level kernel
+    (bfs_expand): the expansion join must carry the src key (one
+    shuffle per level bounded by the frontier's edge boundary), the
+    dedup must be partial-aggregated map-side, and the visited set is
+    consumed ONLY through a left-anti probe — never a join partner
+    that would re-expand prior levels. The full query: the reversed
+    edge union and each per-level frontier are checkpointed
+    (ExistingRDD) so no level re-executes the 7-branch union lineage."""
+    from pyspark.sql import functions as F
+
+    from kgeng.queries.corpus import bfs_expand, kg_bfs_levels, kg_edges, kg_nodes
+
+    e = kg_edges(spark, SF_DIR).select(
+        F.col("object").alias("src"), F.col("subject").alias("dst")
+    )
+    seeds = kg_nodes(spark, SF_DIR).filter(F.col("id").startswith("REGN:")).select("id")
+    step = plan_of(bfs_expand(e, seeds, seeds.select("id")))
+    tree = step.split("\n\n")[0]
+    assert "LeftAnti" in tree, tree
+    assert "CartesianProduct" not in step, step
+    # formatted-mode join keys live in the detail section: every join
+    # must be keyed on an endpoint/id column (expansion on src, the
+    # anti probe on id/dst) — a key-less join line means a cross product
+    keys = [l for l in step.splitlines() if l.startswith("Left keys")]
+    assert keys and all(("src" in l) or ("dst" in l) or ("id" in l) for l in keys), step
+    # the frontier dedup is a keys-only distinct: partial+final shows
+    # as a stacked HashAggregate pair, combining map-side
+    assert tree.count("HashAggregate") >= 2, tree
+
+    full = kg_bfs_levels(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in full, full
+    assert "CartesianProduct" not in full, full
+
+
+def test_kcore_round_is_partial_counted_and_endpoint_keyed(spark):
+    """kg_kcore scale gates. kcore_keepers: the degree count must be
+    map-side combined (hub degrees collapse in the partial aggregate)
+    with the ≥K filter AFTER the final aggregate. kcore_restrict: both
+    survivor joins are keyed on an endpoint — never a cartesian. Full
+    query: the symmetric edge list and per-round survivors are
+    checkpointed (ExistingRDD), keeping round lineage linear."""
+    from pyspark.sql import functions as F
+
+    from kgeng.queries.corpus import kcore_keepers, kcore_restrict, kg_edges, kg_kcore
+
+    e_dir = kg_edges(spark, SF_DIR).select("subject", "object").distinct()
+    sym = e_dir.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    ).unionByName(
+        e_dir.select(F.col("object").alias("src"), F.col("subject").alias("dst"))
+    )
+    keepers = plan_of(kcore_keepers(sym))
+    assert "partial_count" in keepers, keepers
+
+    restrict = plan_of(kcore_restrict(sym, kcore_keepers(sym)))
+    assert "CartesianProduct" not in restrict, restrict
+    keys = [l for l in restrict.splitlines() if l.startswith("Left keys")]
+    assert keys and all(("src" in l) or ("dst" in l) for l in keys), restrict
+
+    full = kg_kcore(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in full, full
+    assert "CartesianProduct" not in full, full
