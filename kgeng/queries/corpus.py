@@ -1547,6 +1547,7 @@ from kgeng.textops.analysis import (  # noqa: E402
     doc_tfidf_top_terms,
     doc_token_stats,
     doc_top_ngrams,
+    doc_unigram_lm,
 )
 from kgeng.textops.dedup import (  # noqa: E402
     dedup_cluster_assign,
@@ -1665,6 +1666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_priority_counts": q_order_priority_counts,
     "kg_bfs_levels": kg_bfs_levels,
     "kg_kcore": kg_kcore,
+    "doc_unigram_lm": doc_unigram_lm,
 }
 
 # The driver compares exactly this many registry entries per round
@@ -1702,4 +1704,5 @@ TAIL_UNGRADED = (
     "q_order_priority_counts",
     "kg_bfs_levels",
     "kg_kcore",
+    "doc_unigram_lm",
 )

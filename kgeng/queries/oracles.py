@@ -1632,4 +1632,20 @@ ORACLES: dict[str, str] = {
     """,
     "kg_bfs_levels": _kg_bfs_sql(),
     "kg_kcore": _kg_kcore_sql(),
+    # the UNSPLIT plain frequency join: the Spark side's Zipf
+    # head/tail routing is plan-level only (head ∪ tail = tf), so the
+    # twin needs no mirror of the split
+    "doc_unigram_lm": """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tf AS (SELECT tok, SUM(c) AS freq FROM dtf GROUP BY tok)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.c * t.freq) // SUM(d.c) AS BIGINT) AS mean_tok_freq
+    FROM dtf d JOIN tf t USING (tok)
+    GROUP BY d.doc_id
+    """,
 }

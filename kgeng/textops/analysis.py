@@ -763,6 +763,92 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_head_k_for(n_docs: int) -> int:
+    """Sizing rule for the Zipf-head of the skew-split frequency join:
+    K = 16 × hex digits of the corpus row count (the derived-constant
+    family — `vocab_k_for`/`shard_nibbles_for`). 48 at the 500-doc
+    test tables, 128 at 10⁹ docs — always broadcast-sized, and under
+    Zipf's law the top ~10² tokens carry the majority of token MASS,
+    which is exactly the mass the broadcast branch must absorb. The
+    constant is config; the split-join plan shape is the contract."""
+    return 16 * _hex_digits(n_docs)
+
+
+def unigram_freq_split(
+    tf: DataFrame, k: int, checkpoint: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Partition a (tok, freq) table into the top-K Zipf head (by
+    freq desc, tok asc — a total order, so the cut is deterministic)
+    and the anti-joined tail. head ∪ tail = tf, head ∩ tail = ∅: the
+    split is plan-level routing, never semantics. ``checkpoint=True``
+    materializes the K-row head before the tail derives from it —
+    the query proper has THREE head consumers (hits join, tail
+    anti-join, miss router), so the TakeOrdered should run once."""
+    head = tf.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(k)
+    if checkpoint:
+        head = head.localCheckpoint(eager=False)
+    tail = tf.join(head.select("tok"), "tok", "left_anti")
+    return head, tail
+
+
+def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM commonness score per document: the mean corpus
+    frequency of the document's tokens (integer-exact on both
+    engines) — the monotone integer proxy for unigram log-probability
+    that KenLM-style quality filters threshold on (documents of rare
+    gibberish score low, boilerplate scores high). No log/float
+    boundary: both engines produce bit-identical BIGINTs.
+
+    Scale shape: the token-frequency join back onto the corpus is the
+    textbook Zipf-skew join — 'the' alone would put a measurable
+    fraction of a 100-TB corpus into ONE shuffle partition. So: (1)
+    ONE corpus pass builds per-(doc, tok) counts (map-side combined,
+    bounded by each doc's distinct terms) and is localCheckpointed
+    for its two consumers (the CLAUDE.md lineage trap); (2) the
+    frequency table derives from that aggregate and SPLITS into a
+    derived-K Zipf head — TakeOrderedAndProject, broadcast-joined, so
+    the hot tokens never shuffle — and the anti-joined tail, which
+    shuffle-joins on a key space with its head (and its skew) removed;
+    (3) the branch union re-aggregates per doc. The oracle is the
+    UNSPLIT plain join: head ∪ tail = tf by construction, so the
+    split is invisible to semantics."""
+    d = _docs(spark, sf_dir)
+    k = lm_head_k_for(parquet_rows(f"{sf_dir}/documents.parquet"))
+    dtf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tf = (
+        dtf.groupBy("tok")
+        .agg(F.sum("c").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    head, tail = unigram_freq_split(tf, k, checkpoint=True)
+    hits = dtf.join(F.broadcast(head), "tok")
+    # route the fact side map-side BEFORE the shuffle: without the
+    # broadcast anti-join the hot head-token rows would still hash
+    # into the tail shuffle (finding no match, but landing in the
+    # skewed partition anyway)
+    misses = dtf.join(F.broadcast(head.select("tok")), "tok", "left_anti").join(
+        tail, "tok"
+    )
+    return (
+        hits.unionByName(misses)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("freq")).alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_freq div n_tokens").alias("mean_tok_freq"),
+        )
+    )
+
+
 def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency audit per shard: how many PACK_TOKENS
     context windows the shard's token stream fills, and the padding

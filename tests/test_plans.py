@@ -686,3 +686,38 @@ def test_kcore_round_is_partial_counted_and_endpoint_keyed(spark):
     full = kg_kcore(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in full, full
     assert "CartesianProduct" not in full, full
+
+
+def test_unigram_lm_splits_the_zipf_head_off_the_shuffle(spark):
+    """doc_unigram_lm scale gates: the Zipf-head branch must be a
+    BroadcastHashJoin (hot tokens never shuffle) and the fact side of
+    the tail branch must pass through a broadcast LEFT-ANTI router
+    BEFORE its shuffle join — without it the hot head-token rows
+    still hash into the skewed tail partition. The per-(doc, tok)
+    aggregate is checkpointed (ExistingRDD) so the corpus parquet is
+    scanned at most once; the head selection (inspected unsplit via
+    unigram_freq_split) is a TakeOrderedAndProject, never a global
+    sort of the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from kgeng.textops.analysis import (
+        doc_unigram_lm,
+        lm_head_k_for,
+        unigram_freq_split,
+    )
+
+    full = doc_unigram_lm(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in full, full
+    assert "CartesianProduct" not in full, full
+    assert full.count("documents.parquet") == 0, full  # behind the checkpoint
+    assert "BroadcastHashJoin" in full, full
+    anti = [l for l in full.splitlines() if "LeftAnti" in l]
+    assert anti and any("BroadcastHashJoin" in l for l in anti), full
+
+    # head selection plan shape (pre-checkpoint, so inspect directly)
+    tf = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], "tok string, freq long"
+    )
+    head, _tail = unigram_freq_split(tf, lm_head_k_for(500))
+    hp = plan_of(head)
+    assert "TakeOrderedAndProject" in hp, hp

@@ -660,3 +660,27 @@ def test_length_deciles_exact_boundaries(spark, tmp_path):
         for r in doc_length_deciles(spark, str(tmp_path)).collect()
     }
     assert got == {d: 7 for d in range(1, 11)}
+
+
+def test_unigram_freq_split_is_a_partition(spark):
+    """The Zipf head/tail split must PARTITION the frequency table
+    (head ∪ tail = tf, head ∩ tail = ∅) and cut deterministically on
+    (freq desc, tok asc) — ties at the K boundary fall to the
+    lexicographically smaller token. Semantics of doc_unigram_lm
+    depend on this: the oracle runs the unsplit join."""
+    from kgeng.textops.analysis import unigram_freq_split
+
+    tf = spark.createDataFrame(
+        [("the", 10), ("of", 10), ("and", 7), ("zebra", 1), ("aard", 1)],
+        "tok string, freq long",
+    )
+    head, tail = unigram_freq_split(tf, 3)
+    h = sorted(r["tok"] for r in head.collect())
+    t = sorted(r["tok"] for r in tail.collect())
+    assert h == ["and", "of", "the"]
+    assert t == ["aard", "zebra"]
+    assert set(h) | set(t) == {"the", "of", "and", "zebra", "aard"}
+    assert set(h) & set(t) == set()
+    # boundary tie: K=1 picks 'of' over 'the' (freq tie, tok asc)
+    head1, _ = unigram_freq_split(tf, 1)
+    assert [r["tok"] for r in head1.collect()] == ["of"]
