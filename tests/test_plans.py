@@ -698,7 +698,6 @@ def test_unigram_lm_splits_the_zipf_head_off_the_shuffle(spark):
     scanned at most once; the head selection (inspected unsplit via
     unigram_freq_split) is a TakeOrderedAndProject, never a global
     sort of the vocabulary."""
-    from pyspark.sql import functions as F
 
     from kgeng.textops.analysis import (
         doc_unigram_lm,
