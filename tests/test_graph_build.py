@@ -262,3 +262,87 @@ def test_kcore_peeling_cascade_removes_hub_keeps_clique(spark):
     sym2 = kcore_restrict(sym1, k2)
     k3 = kcore_keepers(sym2)
     assert sorted(r["id"] for r in k3.collect()) == ["a", "b", "c", "d", "e"]
+
+
+def test_bfs_and_kcore_match_pure_python_reference(spark):
+    """Independent-implementation parity on a deterministic
+    pseudo-random digraph (48 nodes, ~130 md5-selected edges): the
+    Spark frontier/peeling kernels must reproduce a from-scratch
+    pure-Python BFS (min hop levels, reversed edges, depth 3) and
+    k-core peeling (K=4, 3 synchronous rounds) — the same golden-twin
+    style as the extraction P/R tests, catching any semantics drift
+    the crafted micro-graphs are too small to expose."""
+    import hashlib
+
+    from kgeng.queries.corpus import (
+        BFS_MAX_DEPTH,
+        KCORE_K,
+        KCORE_ROUNDS,
+        bfs_expand,
+        kcore_keepers,
+        kcore_restrict,
+    )
+
+    names = [f"n{i:02d}" for i in range(48)]
+    edges = [
+        (names[i], names[j])
+        for i in range(48)
+        for j in range(48)
+        if i != j
+        and int(hashlib.md5(f"{i}-{j}".encode()).hexdigest(), 16) % 17 == 0
+    ]
+    assert len(edges) > 80  # dense enough to be interesting
+
+    # ---- pure-Python reference BFS (reversed edges, min level) ----
+    rev = {}
+    for s, d in edges:
+        rev.setdefault(d, []).append(s)
+    seeds = {names[0], names[1]}
+    want_level = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        frontier = {
+            nb for f in frontier for nb in rev.get(f, [])
+        } - set(want_level)
+        for n in frontier:
+            want_level[n] = depth
+
+    # ---- Spark: chained bfs_expand over the same reversal ----
+    from pyspark.sql import functions as F  # noqa: F811 (explicit)
+
+    e = spark.createDataFrame(edges, "subject string, object string").select(
+        F.col("object").alias("src"), F.col("subject").alias("dst")
+    )
+    sf = spark.createDataFrame([(n,) for n in sorted(seeds)], "id string")
+    visited = {r["id"]: 0 for r in sf.collect()}
+    cur = sf
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        cur = bfs_expand(
+            e, cur, spark.createDataFrame([(n,) for n in visited], "id string")
+        )
+        for r in cur.collect():
+            visited[r["id"]] = depth
+    assert visited == want_level
+
+    # ---- pure-Python reference k-core peeling ----
+    sym_py = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    keep_py = set()
+    cur_sym = sym_py
+    for r in range(KCORE_ROUNDS):
+        deg = {}
+        for a, _b in cur_sym:
+            deg[a] = deg.get(a, 0) + 1
+        keep_py = {n for n, d in deg.items() if d >= KCORE_K}
+        if r < KCORE_ROUNDS - 1:
+            cur_sym = {
+                (a, b) for a, b in cur_sym if a in keep_py and b in keep_py
+            }
+
+    # ---- Spark kernels over the same symmetric list ----
+    sym_df = spark.createDataFrame(sorted(sym_py), "src string, dst string")
+    keep_df = None
+    for r in range(KCORE_ROUNDS):
+        keep_df = kcore_keepers(sym_df)
+        if r < KCORE_ROUNDS - 1:
+            sym_df = kcore_restrict(sym_df, keep_df)
+    assert sorted(x["id"] for x in keep_df.collect()) == sorted(keep_py)
