@@ -790,6 +790,64 @@ def q_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_TRAIL_DAYS = 7
+ANOMALY_MIN_TRAIL = 3
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume spike detection: flag (day, event_type) cells
+    whose count exceeds 2× the trailing ``ANOMALY_TRAIL_DAYS``-day
+    average (computed over days that HAVE data, requiring
+    ``ANOMALY_MIN_TRAIL`` of them) — the alerting rule behind ops
+    dashboards. The comparison is the cross-multiplied INTEGER form
+    ``n · trail_days > 2 · trail_sum``, so both engines are
+    bit-identical — no float average, no rounding boundary.
+
+    Scale shape: the event stream collapses map-side to one row per
+    (day, type) before the single trailing window; the window
+    partitions on event_type with a CALENDAR-correct RANGE frame over
+    the integer epoch day (a ROWS frame would silently span gap
+    days), and its input is bounded by date-span × |types| — never
+    event count (the deciles/rolling idiom)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-ANOMALY_TRAIL_DAYS, -1)
+    )
+    return (
+        daily.withColumn(
+            "trail_events",
+            F.coalesce(F.sum("n_events").over(w), F.lit(0).cast("long")),
+        )
+        .withColumn("trail_days", F.count("n_events").over(w))
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "trail_events",
+            "trail_days",
+            (
+                (F.col("trail_days") >= ANOMALY_MIN_TRAIL)
+                & (
+                    F.col("n_events") * F.col("trail_days")
+                    > 2 * F.col("trail_events")
+                )
+            )
+            .cast("int")
+            .alias("spike"),
+        )
+    )
+
+
 # Fixed pivot column set: a pivot's OUTPUT SCHEMA must not depend on
 # which types happen to appear in a partition of the data, so the
 # domain is declared (unknown future types are excluded identically on
@@ -1667,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bfs_levels": kg_bfs_levels,
     "kg_kcore": kg_kcore,
     "doc_unigram_lm": doc_unigram_lm,
+    "q_events_anomaly": q_events_anomaly,
 }
 
 # The driver compares exactly this many registry entries per round
@@ -1705,4 +1764,5 @@ TAIL_UNGRADED = (
     "kg_bfs_levels",
     "kg_kcore",
     "doc_unigram_lm",
+    "q_events_anomaly",
 )

@@ -15,6 +15,8 @@ parquet files Spark reads.
 from __future__ import annotations
 
 from kgeng.queries.corpus import (
+    ANOMALY_MIN_TRAIL as _ANOMALY_MIN,
+    ANOMALY_TRAIL_DAYS as _ANOMALY_TRAIL,
     BFS_MAX_DEPTH as _BFS_DEPTH,
     EVENT_TYPES as _EVENT_TYPES,
     KCORE_K as _KCORE_K,
@@ -1647,5 +1649,30 @@ ORACLES: dict[str, str] = {
            CAST(SUM(d.c * t.freq) // SUM(d.c) AS BIGINT) AS mean_tok_freq
     FROM dtf d JOIN tf t USING (tok)
     GROUP BY d.doc_id
+    """,
+    "q_events_anomaly": f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day
+      FROM daily
+    ),
+    win AS (
+      SELECT day, event_type, n_events,
+             CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT)
+                 AS trail_events,
+             CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_days
+      FROM d2
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+                   RANGE BETWEEN {_ANOMALY_TRAIL} PRECEDING
+                             AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n_events, trail_events, trail_days,
+           CAST(trail_days >= {_ANOMALY_MIN} AND
+                n_events * trail_days > 2 * trail_events AS INT) AS spike
+    FROM win
     """,
 }

@@ -720,3 +720,20 @@ def test_unigram_lm_splits_the_zipf_head_off_the_shuffle(spark):
     head, _tail = unigram_freq_split(tf, lm_head_k_for(500))
     hp = plan_of(head)
     assert "TakeOrderedAndProject" in hp, hp
+
+
+def test_anomaly_window_runs_over_daily_rows(spark):
+    """q_events_anomaly: the trailing comparison window's input must
+    be the DAILY (day, type) collapse — bounded by date-span × |types|,
+    never event count: partial+final HashAggregates feed exactly one
+    Window with a calendar-correct RangeFrame (a ROWS frame would
+    silently span gap days). No join anywhere."""
+    from kgeng.queries.corpus import q_events_anomaly
+
+    plan = plan_of(q_events_anomaly(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    after = tree[tree.index("Window"):]
+    assert after.count("HashAggregate") >= 2, tree
+    assert "RangeFrame" in plan, plan
+    assert "Join" not in tree, tree
