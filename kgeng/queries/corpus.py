@@ -811,10 +811,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count (the deciles/rolling idiom)."""
     ev = read_table(spark, sf_dir, "events")
     daily = (
-        ev.groupBy(
-            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
-            "event_type",
-        )
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
     )
