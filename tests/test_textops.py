@@ -684,3 +684,18 @@ def test_unigram_freq_split_is_a_partition(spark):
     # boundary tie: K=1 picks 'of' over 'the' (freq tie, tok asc)
     head1, _ = unigram_freq_split(tf, 1)
     assert [r["tok"] for r in head1.collect()] == ["of"]
+
+
+def test_lm_head_k_sizing_rule():
+    """The Zipf-head width must be DERIVED from the corpus count (the
+    lsh_bits_for / shard_nibbles_for family): monotone non-decreasing,
+    log16 growth — always broadcast-sized even at 10¹² docs — and
+    never zero (an empty head would route everything into the tail
+    shuffle, un-solving the skew)."""
+    from kgeng.textops.analysis import lm_head_k_for
+
+    ks = [lm_head_k_for(n) for n in (1, 500, 10**4, 10**6, 10**9, 10**12)]
+    assert ks == sorted(ks)
+    assert ks[0] >= 16  # never an empty head
+    assert lm_head_k_for(500) == 48  # the sf0.001/0.01 test-table width
+    assert lm_head_k_for(10**12) <= 1024  # broadcast-sized at any scale
