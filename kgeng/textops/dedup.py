@@ -166,8 +166,25 @@ def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, threshold: float) -> Dat
     joins to attach both sets to each candidate, with the intersection
     as a map-side ``array_intersect``. Cost is |pairs| · avg set size,
     linear in the candidate count — the property LSH banding buys."""
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset"), F.count("*").alias("sz")
+    # three consumers (both id projections and the verify joins) —
+    # materialize the candidate pairs once
+    pairs = pairs.localCheckpoint(eager=False)
+    # collect_set only for docs that appear in a candidate pair: the
+    # LSH property says candidates are a vanishing fraction of the
+    # corpus, so building shingle-set arrays for EVERY doc (the old
+    # plan's heaviest aggregate) wastes |corpus| - |candidates| of the
+    # work; the semi-join pre-filter is a broadcast of the candidate
+    # id set (bounded by 2·|pairs|)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shset"), F.count("*").alias("sz"))
+        .localCheckpoint(eager=False)
     )
     a = doc_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("sz").alias("sz_a")
@@ -208,11 +225,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped shingles with the RAW shingle explode materialized
+    once (lazy localCheckpoint): every consumer of the shingle set
+    references it at least twice (the cap's hot-count + anti-join
+    probe, then signatures/sizes/doc-sets), and Spark re-executes the
+    whole explode lineage per reference (the CLAUDE.md no-reuse trap —
+    the before-plan of dedup_minhash_lsh carried 32 scans of
+    documents.parquet). On a cluster the checkpoint is a persisted
+    intermediate table, same as the pipeline's stage snapshots."""
+    sh_raw = shingles_df(dup_text_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    return capped_shingles(sh_raw)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (threshold 0.6), over
     df-capped shingles so one stop-phrase can't make the self-join
     quadratic."""
-    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
+    sh = _shingles_ckpt(spark, sf_dir)
     return _jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
@@ -230,7 +260,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     not emitted (singletons are kept trivially)."""
     from kgeng.canon.cc import connected_components
 
-    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
+    sh = _shingles_ckpt(spark, sf_dir)
     pairs = _jaccard_pairs(sh, JACCARD_THRESHOLD).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
@@ -294,8 +324,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (``_jaccard_for_pairs``), which is the property that
     survives a 100× scale-up.
     """
-    sh = capped_shingles(shingles_df(dup_text_corpus(spark, sf_dir)))
+    sh = _shingles_ckpt(spark, sf_dir)
     sig = minhash_signatures(sh)
+    # the band table feeds BOTH sides of the candidate self-join —
+    # materialize it once (|docs|·4 rows) instead of re-running the
+    # signature aggregation per side
     bands = (
         sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
         .groupBy("doc_id", "band")
@@ -310,6 +343,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("band_key")
         )
+        .localCheckpoint(eager=False)
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -393,12 +427,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ]
     )
-    st = st.select("doc_id", "sim_bits", sim_vals.alias("sim_vals"))
+    # the signature table feeds four consumers (the hot-bucket count,
+    # both band-join sides, and the two value re-attach joins) and its
+    # lineage is the full token-explode + 64-bit-sum aggregation —
+    # materialize it ONCE (|docs| rows; the before-plan re-executed it
+    # per reference: 24 scans of documents.parquet, 50 exchanges)
+    st = st.select(
+        "doc_id", "sim_bits", sim_vals.alias("sim_vals")
+    ).localCheckpoint(eager=False)
+    # band table likewise feeds the hot count plus both join sides —
+    # cheap to rebuild from the materialized st, but three references
+    # would still triple the explode; one more |docs|·4-row checkpoint
     bands = st.select(
         "doc_id",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
         "sim_bits",
-    ).withColumn("key", F.expr("substring(sim_bits, band * 16 + 1, 16)")).drop("sim_bits")
+    ).withColumn("key", F.expr("substring(sim_bits, band * 16 + 1, 16)")).drop(
+        "sim_bits"
+    ).localCheckpoint(eager=False)
     hot = (
         bands.groupBy("band", "key")
         .agg(F.count("*").alias("n"))
@@ -441,7 +487,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = dup_embedding_corpus(spark, sf_dir)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    en = e.select("vec_id", "v", norm.alias("nrm"), _lsh_bucket(F.col("v")).alias("bucket"))
+    # both self-join sides reference the bucketed table; materialize it
+    # once so the 12-hyperplane projection sweep runs one pass, not two
+    en = e.select(
+        "vec_id", "v", norm.alias("nrm"), _lsh_bucket(F.col("v")).alias("bucket")
+    ).localCheckpoint(eager=False)
     a = en.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
     )

@@ -159,7 +159,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100-TB plan shape — at deployment K comes from config, and
     only the constant changes, never the plan (BENCH.md §4).
     """
-    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    # three consumers (centroid sample, corpus side, query side) —
+    # materialize the normed table once instead of three scan+norm runs
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v"))).localCheckpoint(
+        eager=False
+    )
     cents = _ivf_centroids(e).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -218,9 +222,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket. Recall is
     traded for a pair space of |bucket|; exactness is checked against
     ann_cosine_topk in tests (recall floor), not an oracle."""
+    # query and corpus sides both reference the bucketed table;
+    # materialize it once so the 12-hyperplane projection sweep (the
+    # dominant per-row cost) runs one pass, not one per side
     e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("v"))).withColumn(
         "bucket", _lsh_bucket(F.col("v"))
-    )
+    ).localCheckpoint(eager=False)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), "bucket",
