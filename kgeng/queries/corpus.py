@@ -141,25 +141,27 @@ def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = nodes.filter(
         F.array_contains(F.col("category"), "biolink:Disease")
     ).agg(F.min("id").alias("aid"))
-    out = _label_check(
-        nodes,
-        edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid")).select(
-            "predicate", "primary_knowledge_source", "object"
-        ),
-        "object",
-        "biolink:NamedThing",
-    ).select("predicate", "primary_knowledge_source", F.lit("out").alias("direction"))
-    inc = _label_check(
-        nodes,
-        edges.join(F.broadcast(anchor), edges["object"] == F.col("aid")).select(
-            "predicate", "primary_knowledge_source", "subject"
-        ),
-        "subject",
-        "biolink:NamedThing",
-    ).select("predicate", "primary_knowledge_source", F.lit("in").alias("direction"))
+    # the two directional legs are tagged and UNIONED BEFORE the far-
+    # endpoint label check, so the node table streams past ONE
+    # broadcast of the combined incident set instead of once per
+    # direction — same rows, one fewer full node-union pass
+    out = edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid")).select(
+        "predicate",
+        "primary_knowledge_source",
+        F.col("object").alias("far"),
+        F.lit("out").alias("direction"),
+    )
+    inc = edges.join(F.broadcast(anchor), edges["object"] == F.col("aid")).select(
+        "predicate",
+        "primary_knowledge_source",
+        F.col("subject").alias("far"),
+        F.lit("in").alias("direction"),
+    )
+    checked = _label_check(
+        nodes, out.unionByName(inc), "far", "biolink:NamedThing"
+    )
     return (
-        out.unionByName(inc)
-        .groupBy("predicate", "primary_knowledge_source", "direction")
+        checked.groupBy("predicate", "primary_knowledge_source", "direction")
         .agg(F.count("*").alias("n"))
     )
 
@@ -202,7 +204,14 @@ def kg_two_hop_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
       first cut to the closure-incident edges and the node table
       streams past a broadcast of just those subjects' ids.
     """
-    nodes = kg_nodes(spark, sf_dir)
+    # three consumers walk the node table (root match, closure label
+    # check, source label check) — materialize the two columns they
+    # need once instead of three 7-branch union passes
+    nodes = (
+        kg_nodes(spark, sf_dir)
+        .select("id", "category")
+        .localCheckpoint(eager=False)
+    )
     edges = kg_edges(spark, sf_dir)
     label_ok = None
     for lbl in SUPERCLASS_LABELS:
@@ -268,9 +277,12 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with an empty category array would otherwise count resolved here
     # and dropped there, ADVICE r3). Filtering the lookup makes the two
     # splits coincide by construction, on both engines.
+    # the lookup feeds BOTH endpoint joins of resolve_edge_classes —
+    # materialize it once instead of running the 7-branch node union
+    # (and the 25-literal priority reorder per row) twice
     lookup = node_class_lookup(nodes).filter(
         ~F.col("id").startswith("REGN:") & F.col("node_class").isNotNull()
-    )
+    ).localCheckpoint(eager=False)
     # materialize: r / d / pairs below all branch from this join — lazy
     # composition would re-execute the full edge⋈lookup join per branch.
     # Narrowed to the three columns the audit needs so the checkpointed
@@ -311,7 +323,11 @@ def kg_degree0_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS."""
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
-    lookup = node_class_lookup(nodes)
+    # materialized so the LeftAnti join runs ONCE against the whole
+    # lookup: Catalyst otherwise pushes the anti-join below the
+    # 7-branch node union, duplicating the edges-distinct build side
+    # per branch (the before-plan carried 112 parquet scans)
+    lookup = node_class_lookup(nodes).localCheckpoint(eager=False)
     orphans = lookup.join(
         edges.select(F.col("object").alias("id")).distinct(), "id", "left_anti"
     )
@@ -685,6 +701,12 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("subject").agg(F.count("*").alias("outdeg"))
+    # out-degree is static across iterations: attach it to the edge
+    # list ONCE and materialize, so each round is a single join of the
+    # (subject, object, outdeg) table against the current ranks — the
+    # old plan re-ran the degree aggregation and a second join inside
+    # every iteration (3 extra passes + exchanges over the edge list)
+    e_od = e.join(outdeg, "subject").localCheckpoint(eager=False)
     receivers = e.select(F.col("object").alias("id")).distinct()
     zero_in = (
         nodes.join(receivers, "id", "left_anti")
@@ -694,8 +716,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("r"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "subject"), "subject")
-            .join(outdeg, "subject")
+            e_od.join(ranks.withColumnRenamed("id", "subject"), "subject")
             .select(
                 F.col("object").alias("id"),
                 F.expr("r div outdeg").alias("c"),
@@ -1111,12 +1132,15 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size is bounded by the domain, never all-pairs-of-parts.
     The pair groupBy is map-side combined and the final top-K is a
     TakeOrderedAndProject (distributed top-k merge, no global sort)."""
+    # both self-join sides reference the deduped basket table —
+    # materialize the distinct once instead of per side
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     pairs = li.join(
         li.select("ok", F.col("pk").alias("pk2")), "ok"
@@ -1315,7 +1339,9 @@ def _copurchase_edges(
             % 10000
         )
         li = li.filter(bucket < F.lit(10000 >> s))
-    li = li.distinct()
+    # the basket self-join references the deduped table twice —
+    # materialize the distinct once
+    li = li.distinct().localCheckpoint(eager=False)
     return (
         li.join(li.select("ok", F.col("pk").alias("pk2")), "ok")
         .filter(F.col("pk") < F.col("pk2"))

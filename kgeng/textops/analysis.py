@@ -946,9 +946,12 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, i * LINE_BLOCK_W + 1, LINE_BLOCK_W)
         ),
     )
+    # the block-instance table feeds the keeper aggregate AND the
+    # re-attach join — materialize it once instead of re-running the
+    # block explode + md5 per consumer
     inst = d.select(
         "doc_id", F.posexplode(blocks).alias("pos", "block")
-    ).withColumn("h", F.md5("block"))
+    ).withColumn("h", F.md5("block")).localCheckpoint(eager=False)
     keeper = inst.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("keep")
     )
