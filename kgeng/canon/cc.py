@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -63,6 +64,53 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return row["n"], int(row["h"])
 
 
+# Size gate for the driver-side union-find fast path: a deduped edge
+# set at or below this count (a few MB collected) is solved in one
+# collect + one createDataFrame instead of O(log n) star rounds, each
+# of which costs several shuffles, an eager checkpoint and a
+# convergence collect — pure stage overhead when the input is
+# dimension-sized (the 400-entity bench dictionary spent 4-7 s here).
+# Same bounded-collect pattern as the alias-trie MAX_COLLECTED_ALIASES
+# switch (kgeng/extract/mentions.py); above the gate the distributed
+# large-star/small-star path runs unchanged, so a billion-entity
+# dictionary never touches the driver.
+SMALL_CC_EDGES = 1 << 17
+
+
+def _driver_cc(cur: DataFrame) -> DataFrame:
+    """Exact union-find twin of the distributed loop for gate-sized
+    inputs: every id appearing in ``cur`` maps to the minimum id
+    reachable — identical rows to the star-round fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in cur.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id, so every root IS its component's minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(x, find(x)) for x in parent]
+    schema = T.StructType(
+        [
+            T.StructField("id", cur.schema["u"].dataType),
+            T.StructField("component", cur.schema["v"].dataType),
+        ]
+    )
+    return cur.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(u, v) -> assignments(id, component) where component is the
     minimum id reachable; every id appearing in edges is assigned."""
@@ -73,6 +121,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
     cur = cur.localCheckpoint(eager=True)
+    if cur.count() <= SMALL_CC_EDGES:
+        # the deduped edge set is already materialized; one collect
+        # replaces the whole star-round loop (identical assignments)
+        return _driver_cc(cur)
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)

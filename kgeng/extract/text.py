@@ -123,6 +123,38 @@ _FAST_TAG = re.compile(
     r"\s*(/?)>"
 )
 
+# BORING-RUN skip: while text is being DISCARDED (outside any open
+# <p>, or inside a skip subtree), the only constructs that can change
+# scanner state are the 8 interesting element names (p + skip set,
+# any letter case), comments/declarations/PIs/marked sections ('<!',
+# '<?'), and anything the fast grammar can't parse. Everything else —
+# text runs, stray '<', boring START tags in the _FAST_TAG shape,
+# boring STRICT end tags — is state-neutral, so one C-speed match
+# consumes a maximal run of them per Python iteration instead of one
+# tag each (a boilerplate sidebar of hundreds of <a> links costs one
+# match). Consumption extent per piece is identical to the per-tag
+# code path by construction: the start-tag piece IS the _FAST_TAG
+# body (a strict subset of the tolerant grammar), the end-tag piece
+# IS the strict _END_TAG shape with no leading whitespace (a
+# whitespace-led or tolerant-junk end tag falls through to the slow
+# path), and the name lookaheads use html.parser's own name-boundary
+# charset so `<pre>`/`<param>` stay boring while `<P/>` stays
+# interesting.
+_INTERESTING_NAME = r"(?i:p|nav|header|footer|aside|script|style|template)[\t\n\r\f />\x00]"
+_BORING_RUN = re.compile(
+    r"(?:"
+    r"[^<]+"                                   # discarded text run
+    r"|<(?![a-zA-Z!/?])"                       # stray '<' => data
+    r"|</(?!\s)(?!" + _INTERESTING_NAME + r")"
+    r"[a-zA-Z][-.a-zA-Z0-9:_]*\s*>"            # boring strict end tag
+    r"|<(?!" + _INTERESTING_NAME + r")"
+    r"[a-zA-Z][-a-zA-Z0-9:._]*"                # boring fast start tag
+    r"(?:\s+[a-zA-Z_:@-][-a-zA-Z0-9_:.@]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?>[-a-zA-Z0-9._:/&;#%+]+)))?)*"
+    r"\s*/?>"
+    r")+"
+)
+
 # Faithful port of html.parser's tolerant start-tag grammar (CPython
 # Lib/html/parser.py: locatestarttagend_tolerant / tagfind_tolerant /
 # attrfind_tolerant — public stdlib source; the reference kernel IS
@@ -216,7 +248,16 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     p_depth = 0
     i, n = 0, len(doc)
     find = doc.find
+    boring = _BORING_RUN.match
     while i < n:
+        if p_depth == 0 or skip_depth:
+            # text is being discarded: eat the maximal state-neutral
+            # run (text + boring tags) in one C-speed match
+            bm = boring(doc, i)
+            if bm and bm.end() > i:
+                i = bm.end()
+                if i >= n:
+                    break
         lt = find("<", i)
         if lt == -1:
             # trailing text with no '<' left: an open paragraph can

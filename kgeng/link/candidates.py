@@ -190,7 +190,12 @@ def link_triples(
     )
     s_map = lm.withColumnRenamed("surface_norm", "s_norm").withColumnRenamed("curie", "subject_curie")
     o_map = lm.withColumnRenamed("surface_norm", "o_norm").withColumnRenamed("curie", "object_curie")
-    joined = t.join(s_map, "s_norm", "left").join(o_map, "o_norm", "left")
+    # the linked and unlinked branches both consume this join —
+    # materialize it once instead of re-running the normalize + two
+    # broadcast joins over the full triple set per output branch
+    joined = t.join(s_map, "s_norm", "left").join(o_map, "o_norm", "left").localCheckpoint(
+        eager=False
+    )
     linked = joined.filter(
         F.col("subject_curie").isNotNull() & F.col("object_curie").isNotNull()
     ).select("url", "sentence_idx", "subject_curie", "predicate", "object_curie")

@@ -102,3 +102,22 @@ def test_minhash_name_blocking_merges_near_dup_labels(spark):
     }
     assert without["X:1"] == "X:1" and without["X:2"] == "X:2"  # no name merge
     assert without["X:5"] == without["X:6"] == "X:5"
+
+
+def test_driver_cc_matches_distributed_path(spark, monkeypatch):
+    """The r7 size-gated driver union-find must produce EXACTLY the
+    assignment rows of the distributed star-round loop on the same
+    random graph (the gate is plan routing, never semantics)."""
+    import random
+
+    from kgeng.canon import cc as cc_mod
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(300)
+    ] + [(i, i) for i in range(5)]  # self-loops must drop identically
+    df = spark.createDataFrame(edges, "u long, v long")
+    fast = sorted(map(tuple, cc_mod.connected_components(df).collect()))
+    monkeypatch.setattr(cc_mod, "SMALL_CC_EDGES", 0)  # force star rounds
+    slow = sorted(map(tuple, cc_mod.connected_components(df).collect()))
+    assert fast == slow and len(fast) > 0

@@ -291,3 +291,39 @@ def test_scanner_fuzz_structured_tags():
         assert extract_text_py(h) == extract_text_py_reference(h), h
 
     check()
+
+
+def test_scanner_fuzz_boring_run_boundaries():
+    """Differential fuzz targeting the boring-run fast path (r7): runs
+    of state-neutral markup (boring start/end tags, text, stray '<')
+    interleaved with the constructs the run must STOP at — interesting
+    names in every case/boundary variant (`<pre>` is boring, `<P/>` is
+    not; `</ p>` is an end tag only via the slow path), quoted
+    attribute values hiding '<p>' or '>', tolerant-junk end tags, and
+    incomplete tags. The boring-run consumption extents must equal the
+    per-tag slow path's exactly or paragraph boundaries desync."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgeng.extract.text import extract_text_py, extract_text_py_reference
+
+    tokens = st.sampled_from([
+        "<p>", "</p>", "<P>", "</P>", "<p/>", "</ p>", "</p >",
+        "<pre>", "</pre>", "<param>", "<pa>", "</pa>",
+        "<nav>", "</nav>", "<NAV a=b>", "<navx>", "</navx>",
+        "<a href='/x' class='s'>t</a> ", "<div>", "</div>", "<br/>",
+        '<a title="<p>">', "<a b=\"x>y\">", "<a b='<nav>'>",
+        "<a b=c>", "<a b= >", "<a\tb>", "<a b=/>", "<a-b>", "<p:q>",
+        "</a junk>", '<a "j">', "<a b='unterminated",
+        "<script>", "</script>", "<style>", "</style>",
+        "<!-- c -->", "<!--", "-->", "<!d>", "<?pi?>", "<![if x]>",
+        "text ", "x<y", "<", ">", "&amp;", "&", "\n", "\x00",
+    ])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(tokens, min_size=1, max_size=20))
+    def check(parts):
+        h = "".join(parts).encode()
+        assert extract_text_py(h) == extract_text_py_reference(h), h
+
+    check()
