@@ -102,10 +102,16 @@ class Pipeline:
             # a row budget) — spread the UDF stage across the cluster
             # explicitly. On Iceberg this is bucket(url_hash) at the
             # table layout level instead.
-            # 6 waves of fine partitions: coarse partitioning (2 waves)
+            # 12 waves of fine partitions: coarse partitioning (2 waves)
             # turns any scheduler jitter into a straggler tail on the
-            # longest stage; finer slices let the last wave pack tight
-            target = self.spark.sparkContext.defaultParallelism * 6
+            # longest stage; finer slices let the last wave pack tight.
+            # The wave count targets ~3 s/task: it was 6 when the
+            # kernel ran ~1250 pages/s — the r7 boring-run kernel
+            # doubled that, so the same task-duration target needs 2×
+            # the slices (a coarse last wave costs its full task length
+            # in straggler tail, which lands on the scaling pair's
+            # hi-parallelism leg 4× harder than on local[1])
+            target = self.spark.sparkContext.defaultParallelism * 12
             return pages.repartition(target, "url").select(
                 "url", "lang", extracted_text(F.col("html")).alias("text")
             )

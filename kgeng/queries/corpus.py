@@ -263,11 +263,7 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic sort of ``subj|obj`` strings disagree when one class
     name prefixes another, so the graded column sorts the serialized
     strings on both engines."""
-    from kgeng.graph.build import (
-        node_class_lookup,
-        predicate_class_pairs,
-        resolve_edge_classes,
-    )
+    from kgeng.graph.build import node_class_lookup, resolve_edge_classes
 
     nodes = kg_nodes(spark, sf_dir)
     edges = kg_edges(spark, sf_dir)
@@ -290,29 +286,39 @@ def kg_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved, dropped = resolve_edge_classes(
         edges.select("subject", "predicate", "object"), lookup, materialize=True
     )
-    pairs = predicate_class_pairs(resolved).select(
-        "predicate",
+    # ONE grouped pass computes all three audit facets via conditional
+    # aggregates over the marked union of both sides (two cheap probes
+    # of the checkpointed join product) — the old shape ran three
+    # aggregations plus a full-outer and a left join to reassemble
+    # them, re-shuffling the predicate key three times. collect_set
+    # skips the NULL the `when` leaves on dropped rows, so the pair
+    # set is exactly predicate_class_pairs(resolved)'s; a dropped-only
+    # predicate yields n_resolved = 0 and an empty pair set, exactly
+    # what the old full-outer + coalesce produced.
+    marked = resolved.select(
+        "predicate", "subject_class", "object_class", F.lit(True).alias("_ok")
+    ).unionByName(
+        dropped.select(
+            "predicate", "subject_class", "object_class", F.lit(False).alias("_ok")
+        )
+    )
+    return marked.groupBy("predicate").agg(
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).cast("long").alias("n_resolved"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).cast("long").alias("n_dropped"),
         F.concat_ws(
             ";",
             F.array_sort(
                 F.transform(
-                    F.col("class_pairs"),
+                    F.collect_set(
+                        F.when(
+                            F.col("_ok"),
+                            F.struct(F.col("subject_class"), F.col("object_class")),
+                        )
+                    ),
                     lambda p: F.concat_ws("|", p.subject_class, p.object_class),
                 )
             ),
         ).alias("class_pairs_str"),
-    )
-    r = resolved.groupBy("predicate").agg(F.count("*").alias("n_resolved"))
-    d = dropped.groupBy("predicate").agg(F.count("*").alias("n_dropped"))
-    return (
-        r.join(d, "predicate", "full_outer")
-        .join(pairs, "predicate", "left")
-        .select(
-            "predicate",
-            F.coalesce(F.col("n_resolved"), F.lit(0).cast("long")).alias("n_resolved"),
-            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
-            F.coalesce(F.col("class_pairs_str"), F.lit("")).alias("class_pairs_str"),
-        )
     )
 
 
