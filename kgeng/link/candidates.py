@@ -173,6 +173,10 @@ def link_triples(
     side-channel (the linking twin of J2's join-miss drop,
     ``Kuzu/kuzu_build_graph_csv.py:342-347``).
     """
+    if dims is None:
+        if dictionary is None:
+            raise ValueError("need dictionary or dims")
+        dims = build_link_dims(dictionary)
     # one corpus scan: both endpoint surfaces in one explode
     surfaces = triples.select(
         F.explode(
@@ -181,9 +185,32 @@ def link_triples(
                 normalize_col(F.col("object_surface")),
             )
         ).alias("surface_norm")
-    ).distinct()
-    # materialize the (small) link map once; both output branches reuse it
-    lm = link_map(surfaces, dictionary, dims).localCheckpoint(eager=True)
+    )
+    # Only surfaces equal to some dictionary alias can ever produce a
+    # link (candidate generation is an equi-join on alias_norm), so the
+    # corpus-wide distinct — a shuffle of EVERY surface string, the
+    # measured hot spot of the link stage — is pre-filtered with a
+    # broadcast semi-join on the alias key set. The shuffled set is
+    # then bounded by the dictionary's alias count at any corpus size
+    # instead of growing with the corpus's distinct-surface count.
+    # Identical link map by construction: non-matching surfaces join to
+    # zero candidates, and per-surface scoring is independent across
+    # surfaces, so dropping them changes no surviving row.
+    alias_keys = dims["alias_map"].select(F.col("alias_norm").alias("surface_norm"))
+    surfaces = surfaces.join(F.broadcast(alias_keys), "surface_norm", "left_semi")
+    # ... and the distinct surface set — ≤ |aliases| rows after the
+    # semi-join — is materialized once: rank_candidates consumes
+    # ``surfaces`` twice (token weights + candidate join) and would
+    # otherwise re-execute the corpus explode per consumer. Lazy
+    # checkpoints: each still materializes exactly once, at its first
+    # consumer, without paying a separate blocking job per
+    # checkpoint — the link stage runs as one job chain instead of
+    # three (corpus-independent fixed latency, but it lands on every
+    # leg of the scaling pair).
+    surfaces = surfaces.distinct().localCheckpoint(eager=False)
+    # materialize the (small) link map once; both output branches (and
+    # both broadcast builds below) reuse it
+    lm = link_map(surfaces, dictionary, dims).localCheckpoint(eager=False)
     lm = F.broadcast(lm)
     t = triples.withColumn("s_norm", normalize_col(F.col("subject_surface"))).withColumn(
         "o_norm", normalize_col(F.col("object_surface"))

@@ -52,6 +52,31 @@ def test_triple_precision_recall(spark, pipeline_out):
     assert recall >= 0.95, (recall, len(got), len(expected))
 
 
+def test_link_triples_miss_side_channel_survives_prefilter(spark, inputs):
+    # the r7 alias semi-join prefilter bounds the surface shuffle by
+    # the dictionary size; a surface matching NO alias must still reach
+    # the unlinked side-channel untouched, and normalization (case /
+    # whitespace) must still apply before the semi-join key compare
+    from kgeng.link.candidates import link_triples
+
+    _pages, dic = inputs
+    dictionary = spark.read.parquet(dic)
+    alias0 = fixtures.entity_name(0)
+    triples = spark.createDataFrame(
+        [
+            ("u1", 0, f"  {alias0.upper()} ", "rel", fixtures.entity_name(5)),
+            ("u2", 1, alias0, "rel", "no such entity anywhere"),
+        ],
+        "url: string, sentence_idx: int, subject_surface: string, "
+        "predicate: string, object_surface: string",
+    )
+    linked, unlinked = link_triples(triples, dictionary)
+    got_linked = {(r["url"], r["subject_curie"], r["object_curie"]) for r in linked.collect()}
+    got_miss = {(r["url"], r["object_surface"]) for r in unlinked.collect()}
+    assert got_linked == {("u1", fixtures.entity_curie(0), fixtures.entity_curie(5))}
+    assert got_miss == {("u2", "no such entity anywhere")}
+
+
 def test_ambiguous_surface_links_to_label_owner(spark, inputs):
     _pages, dic = inputs
     dictionary = spark.read.parquet(dic)
