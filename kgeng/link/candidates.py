@@ -58,6 +58,8 @@ def build_link_dims(dictionary: DataFrame) -> dict[str, DataFrame]:
     - ``idf``:       (token, idf) over entity profiles
     - ``ent``:       (curie, w_map map<token,w>, norm_e)
     - ``labels``:    (curie, label_norm) for the exact-label bonus
+    - ``link_map``:  (surface_norm, curie) the complete precomputed
+      winner map over every alias key (see inline note)
     """
     n_ents = dictionary.count()
     profiles = dictionary.select(
@@ -90,7 +92,19 @@ def build_link_dims(dictionary: DataFrame) -> dict[str, DataFrame]:
         .distinct()
     )
     labels = dictionary.select("curie", normalize_col(F.col("label")).alias("label_norm"))
-    return {"alias_map": alias_map, "idf": idf, "ent": ent, "labels": labels}
+    dims = {"alias_map": alias_map, "idf": idf, "ent": ent, "labels": labels}
+    # The complete winner map alias_norm -> curie is itself
+    # dictionary-side: candidate generation is an equi-join on
+    # alias_norm, so only alias-shaped surfaces can link, and scoring a
+    # surface uses nothing but the dictionary tables above. Ranking
+    # every alias key once HERE (corpus-independent, overlapped with
+    # extraction by the pipeline's dictionary-side thread) lets
+    # link_triples skip both its corpus-wide surface pass and the
+    # per-run map computation; entries for aliases that never occur in
+    # a corpus match no row and change nothing.
+    all_alias_keys = alias_map.select(F.col("alias_norm").alias("surface_norm")).distinct()
+    dims["link_map"] = link_map(all_alias_keys, dims=dims)
+    return dims
 
 
 def rank_candidates(
@@ -177,40 +191,25 @@ def link_triples(
         if dictionary is None:
             raise ValueError("need dictionary or dims")
         dims = build_link_dims(dictionary)
-    # one corpus scan: both endpoint surfaces in one explode
-    surfaces = triples.select(
-        F.explode(
-            F.array(
-                normalize_col(F.col("subject_surface")),
-                normalize_col(F.col("object_surface")),
-            )
-        ).alias("surface_norm")
-    )
-    # Only surfaces equal to some dictionary alias can ever produce a
-    # link (candidate generation is an equi-join on alias_norm), so the
-    # corpus-wide distinct — a shuffle of EVERY surface string, the
-    # measured hot spot of the link stage — is pre-filtered with a
-    # broadcast semi-join on the alias key set. The shuffled set is
-    # then bounded by the dictionary's alias count at any corpus size
-    # instead of growing with the corpus's distinct-surface count.
-    # Identical link map by construction: non-matching surfaces join to
-    # zero candidates, and per-surface scoring is independent across
-    # surfaces, so dropping them changes no surviving row.
-    alias_keys = dims["alias_map"].select(F.col("alias_norm").alias("surface_norm"))
-    surfaces = surfaces.join(F.broadcast(alias_keys), "surface_norm", "left_semi")
-    # ... and the distinct surface set — ≤ |aliases| rows after the
-    # semi-join — is materialized once: rank_candidates consumes
-    # ``surfaces`` twice (token weights + candidate join) and would
-    # otherwise re-execute the corpus explode per consumer. Lazy
-    # checkpoints: each still materializes exactly once, at its first
-    # consumer, without paying a separate blocking job per
-    # checkpoint — the link stage runs as one job chain instead of
-    # three (corpus-independent fixed latency, but it lands on every
-    # leg of the scaling pair).
-    surfaces = surfaces.distinct().localCheckpoint(eager=False)
-    # materialize the (small) link map once; both output branches (and
-    # both broadcast builds below) reuse it
-    lm = link_map(surfaces, dictionary, dims).localCheckpoint(eager=False)
+    # The winner map is dictionary-side (see build_link_dims): only
+    # alias-shaped surfaces can link (candidate generation is an
+    # equi-join on alias_norm) and scoring uses only dictionary
+    # tables, so the precomputed complete alias_norm -> curie map
+    # replaces the old corpus-wide surface pass (a scan + distinct
+    # shuffle of EVERY surface string — the measured hot spot of this
+    # stage) AND the per-run map computation. Entries for aliases the
+    # corpus never mentions match no row below; corpus surfaces that
+    # are no alias get NULL — the unlinked side-channel — exactly as
+    # before. The map is dimension-sized: lazy-checkpoint once for the
+    # two broadcast builds below.
+    if "link_map" not in dims:
+        # dims from an older caller without the precomputed table:
+        # derive it the same dictionary-side way
+        all_alias_keys = (
+            dims["alias_map"].select(F.col("alias_norm").alias("surface_norm")).distinct()
+        )
+        dims = {**dims, "link_map": link_map(all_alias_keys, dims=dims)}
+    lm = dims["link_map"].localCheckpoint(eager=False)
     lm = F.broadcast(lm)
     t = triples.withColumn("s_norm", normalize_col(F.col("subject_surface"))).withColumn(
         "o_norm", normalize_col(F.col("object_surface"))

@@ -45,7 +45,7 @@ from kgeng.link.candidates import build_link_dims, link_triples
 SALT_BUCKETS = 16
 MAX_PUBLICATIONS = 10
 # the linking dim tables (each its own lineage commit / Iceberg table)
-LINK_DIM_TABLES = ("alias_map", "idf", "ent", "labels")
+LINK_DIM_TABLES = ("alias_map", "idf", "ent", "labels", "link_map")
 
 
 def _parquet_rows(path: str) -> int:
@@ -160,6 +160,26 @@ class Pipeline:
                 continue
             t_table = time.time()
             df = dims[name]
+            if name == "link_map":
+                # the winner map's lineage spans every base dim; built
+                # from the in-memory dims dict it would RE-EXECUTE the
+                # alias/idf/ent computations just written above (no
+                # plan reuse across references — the CLAUDE.md trap),
+                # queued behind extraction on this side thread. The
+                # base tables are already on disk: derive it from the
+                # read-back snapshots instead, zero recompute.
+                from kgeng.link.candidates import link_map as _link_map
+
+                base = {
+                    n2: self._read(f"{out_path}/{n2}")
+                    for n2 in ("alias_map", "idf", "ent", "labels")
+                }
+                keys = (
+                    base["alias_map"]
+                    .select(F.col("alias_norm").alias("surface_norm"))
+                    .distinct()
+                )
+                df = _link_map(keys, dims=base)
             dim_path = f"{out_path}/{name}"
             write_partitioned(df, dim_path)
             n = _parquet_rows(dim_path)
