@@ -700,9 +700,17 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subject", "object")
         .localCheckpoint(eager=False)
     )
-    nodes = (
+    # Only SUBJECT ranks are ever consumed (each iteration joins ranks
+    # on subject), and from iteration 1 on the rank vector is rebuilt
+    # as contributions ∪ zero-in — so the initial vector needs only
+    # the subject set, not the full endpoint union: object-only nodes
+    # enter through the contribution side and zero-in nodes (subjects
+    # with no in-edge) through the static union. Distinct over |E|
+    # subject rows instead of the 2|E| endpoint union; identical
+    # output set (subjects ∪ receivers = all endpoints) and identical
+    # integer ranks.
+    subs = (
         e.select(F.col("subject").alias("id"))
-        .unionByName(e.select(F.col("object").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -715,11 +723,11 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_od = e.join(outdeg, "subject").localCheckpoint(eager=False)
     receivers = e.select(F.col("object").alias("id")).distinct()
     zero_in = (
-        nodes.join(receivers, "id", "left_anti")
+        subs.join(receivers, "id", "left_anti")
         .select("id", F.lit(PAGERANK_BASE).cast("long").alias("r"))
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("r"))
+    ranks = subs.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("r"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
             e_od.join(ranks.withColumnRenamed("id", "subject"), "subject")
@@ -1005,19 +1013,25 @@ LPA_ITERS = 3
 LPA_TOPK = 20
 
 
-def lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
-    """One synchronous label-propagation round: every node adopts its
-    neighbors' most frequent label, ties to the lexicographically
-    smallest. ``adj`` is (nbr, id) directed both ways; ``labels`` is
-    (id, lbl). The arg-max is a partial-combinable ``min_by`` over
-    ``struct(-count, label)`` — hub votes collapse map-side."""
+def lpa_votes(votes: DataFrame) -> DataFrame:
+    """Collapse a (id, lbl) vote stream to each node's winning label:
+    most frequent, ties to the lexicographically smallest. The arg-max
+    is a partial-combinable ``min_by`` over ``struct(-count, label)``
+    — hub votes collapse map-side."""
     return (
-        adj.join(labels.withColumnsRenamed({"id": "nbr"}), "nbr")
-        .groupBy("id", "lbl")
+        votes.groupBy("id", "lbl")
         .agg(F.count("*").alias("cnt"))
         .groupBy("id")
         .agg(F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl"))
     )
+
+
+def lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts its
+    neighbors' most frequent label, ties to the lexicographically
+    smallest. ``adj`` is (nbr, id) directed both ways; ``labels`` is
+    (id, lbl)."""
+    return lpa_votes(adj.join(labels.withColumnsRenamed({"id": "nbr"}), "nbr"))
 
 
 def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,8 +1063,15 @@ def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         e.select(F.col("object").alias("nbr"), F.col("subject").alias("id"))
     )
-    labels = adj.select("id").distinct().withColumn("lbl", F.col("id"))
-    for _ in range(LPA_ITERS):
+    # Round 1's labels table is the IDENTITY map over the endpoint set
+    # (every node starts labeled with its own id), and it covers every
+    # nbr key exactly once — so the round-1 adjacency⋈labels join
+    # rewrites (nbr, id) to (id, lbl=nbr) row-for-row. Feed the votes
+    # directly and skip BOTH the endpoint-distinct that built the
+    # identity table (a 2|E|-row shuffle) and the round-1 join shuffle;
+    # rounds 2+ join against genuinely computed labels as before.
+    labels = lpa_votes(adj.select("id", F.col("nbr").alias("lbl")))
+    for _ in range(LPA_ITERS - 1):
         labels = lpa_round(adj, labels)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
