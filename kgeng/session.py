@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when EVERY post-shuffle partition of the build side is under
+        # the threshold (guide §3.1's off-by-default knob): the build
+        # memory bound is per-partition bytes measured at runtime, so
+        # the rewrite is evidence-based and scale-independent — a
+        # partition over the bound keeps the spilling sort-merge.
+        # Threshold matches the broadcast threshold / advisory
+        # partition size. Measured on the 12 join-heavy suite queries
+        # (same-session alternating A/B, min-of-3, sf0.1/local[32]):
+        # 55.1 -> 40.9 s total, every query <= its sort-merge time
+        # (LPA 13.0->7.0, minhash 7.5->5.4, pagerank 9.7->7.4).
+        # Compile-time preferSortMergeJoin=false was REJECTED: without
+        # runtime sizes it picks oversized build sides (LPA 19.3 s,
+        # and an OOM risk at scale).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("KGENG_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         # FAIR job scheduling: the pipeline overlaps dictionary-side
         # prep with extraction from a second driver thread (guide-§2.6
         # style latency hiding). Under FIFO the side thread's tiny dim
