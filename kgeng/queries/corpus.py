@@ -141,25 +141,47 @@ def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = nodes.filter(
         F.array_contains(F.col("category"), "biolink:Disease")
     ).agg(F.min("id").alias("aid"))
-    # the two directional legs are tagged and UNIONED BEFORE the far-
-    # endpoint label check, so the node table streams past ONE
-    # broadcast of the combined incident set instead of once per
-    # direction — same rows, one fewer full node-union pass
-    out = edges.join(F.broadcast(anchor), edges["subject"] == F.col("aid")).select(
-        "predicate",
-        "primary_knowledge_source",
-        F.col("object").alias("far"),
-        F.lit("out").alias("direction"),
+    # ONE pass over the edge union for both directions: each edge is
+    # exploded into its two directed incidences (key=subject → out,
+    # key=object → in) and a single broadcast probe of the 1-row
+    # anchor keeps the matches — the old per-direction joins each
+    # re-scanned the full 7-branch edge union (2 parquet+concat
+    # passes → 1; the exploded rows are narrow and die at the
+    # broadcast probe, no shuffle). Row-for-row identical: an edge
+    # with subject==aid yields exactly the old 'out' row, object==aid
+    # the old 'in' row, a self-loop both — same multiset.
+    incident = (
+        edges.select(
+            "predicate",
+            "primary_knowledge_source",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subject").alias("key"),
+                        F.col("object").alias("far"),
+                        F.lit("out").alias("direction"),
+                    ),
+                    F.struct(
+                        F.col("object").alias("key"),
+                        F.col("subject").alias("far"),
+                        F.lit("in").alias("direction"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(
+            "predicate",
+            "primary_knowledge_source",
+            F.col("x.key").alias("key"),
+            F.col("x.far").alias("far"),
+            F.col("x.direction").alias("direction"),
+        )
+        .join(F.broadcast(anchor), F.col("key") == F.col("aid"))
+        .drop("key", "aid")
     )
-    inc = edges.join(F.broadcast(anchor), edges["object"] == F.col("aid")).select(
-        "predicate",
-        "primary_knowledge_source",
-        F.col("subject").alias("far"),
-        F.lit("in").alias("direction"),
-    )
-    checked = _label_check(
-        nodes, out.unionByName(inc), "far", "biolink:NamedThing"
-    )
+    # the far-endpoint label check runs once over the combined
+    # incident set, so the node table streams past ONE broadcast
+    checked = _label_check(nodes, incident, "far", "biolink:NamedThing")
     return (
         checked.groupBy("predicate", "primary_knowledge_source", "direction")
         .agg(F.count("*").alias("n"))
