@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgeng.textops.dedup import BAND_SIZE, _jaccard_for_pairs, minhash_signatures
+from kgeng.textops.dedup import _jaccard_for_pairs, minhash_bands
 
 NAME_JACCARD_THRESHOLD = 0.8
 
@@ -48,22 +48,10 @@ def near_dup_label_pairs(
     banded MinHash candidates + exact Jaccard verification — the
     linear-candidate-space blocking step, never the |entities|² scan."""
     sh = label_char_shingles(dictionary)
-    sig = minhash_signatures(sh)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
-        )
-    )
+    # band keys computed directly from the wide signature row (see
+    # kgeng.textops.dedup.minhash_bands: byte-identical keys, one
+    # shuffle instead of explode + re-group)
+    bands = minhash_bands(sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cands = (

@@ -283,8 +283,8 @@ MINHASH_A = [(2_654_435_761 * (s + 1)) % MINHASH_P for s in range(N_MINHASH)]
 MINHASH_B = [(40_503 * (s + 17) + 1) % MINHASH_P for s in range(N_MINHASH)]
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash): portable MinHash — base hash x = first
+def minhash_wide(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): portable MinHash — base hash x = first
     7 hex digits of md5(shingle), permuted per seed with fixed integer
     constants (see MINHASH_A/B), so any engine with md5 + 64-bit ints
     reproduces the signatures exactly.
@@ -292,8 +292,7 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     Plan note: one groupBy with ``n_hashes`` min-aggregates instead of
     exploding seeds (which would multiply the shuffle by 16×) — the
     map-side partial min collapses each partition to |docs| rows
-    before the exchange. The (seed, mh) long form is restored after
-    the agg for the banding step.
+    before the exchange.
     """
     x = F.conv(F.substring(F.md5(F.col("sh")), 1, 7), 16, 10).cast("long")
     based = sh.select("doc_id", x.alias("x"))
@@ -303,15 +302,39 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
         )
         for s in range(n_hashes)
     ]
-    wide = based.groupBy("doc_id").agg(*aggs)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("mh"))
-            for s in range(n_hashes)
-        ]
-    )
-    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.seed").alias("seed"), F.col("p.mh").alias("mh")
+    return based.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, band, band_key): the banded signature table, computed
+    DIRECTLY from the wide signature row. The old shape exploded the
+    signature to |docs|·n_hashes (doc, seed, mh) rows and re-grouped
+    them by (doc, band) with a sort + collect_list — a full extra
+    exchange + sort-aggregate whose output is statically known from
+    the wide row: band b holds exactly seeds b·BAND_SIZE..+(BAND_SIZE-1),
+    each present exactly once, and ``array_sort`` over struct(seed, mh)
+    orders by those distinct seeds — so the sorted mh list IS
+    (mh_{4b}, …, mh_{4b+3}) and the band key md5 is a per-row
+    expression. Byte-identical band_key by construction; ONE shuffle
+    (the signature agg) instead of two."""
+    wide = minhash_wide(sh, n_hashes)
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * BAND_SIZE + i}").cast("string")
+                        for i in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_hashes // BAND_SIZE)
+    ]
+    return wide.select("doc_id", F.explode(F.array(*structs)).alias("p")).select(
+        "doc_id", F.col("p.band").alias("band"), F.col("p.band_key").alias("band_key")
     )
 
 
@@ -325,26 +348,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a 100× scale-up.
     """
     sh = _shingles_ckpt(spark, sf_dir)
-    sig = minhash_signatures(sh)
     # the band table feeds BOTH sides of the candidate self-join —
     # materialize it once (|docs|·4 rows) instead of re-running the
     # signature aggregation per side
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
-        )
-        .localCheckpoint(eager=False)
-    )
+    bands = minhash_bands(sh).localCheckpoint(eager=False)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cands = (
