@@ -112,6 +112,19 @@ def launder_quotes(col: Column) -> Column:
     return F.regexp_replace(col, "'", "`")
 
 
+def primary_category(categories: Column) -> Column:
+    """Head of :func:`reorder_categories` without building the array:
+    the reordered head is the highest-priority class present, else the
+    ascending-sorted distinct head — so the per-row array_remove +
+    concat (whose output the lookup immediately discards past element
+    0) is elided. Identical to ``F.get(reorder_categories(c), 0)`` by
+    case analysis on the same ``when`` branches."""
+    distinct = F.array_distinct(categories)
+    priority = F.array([F.lit(c) for c in ORDERED_CATEGORIES])
+    primary = F.get(F.filter(priority, lambda p: F.array_contains(distinct, p)), 0)
+    return F.when(primary.isNull(), F.get(F.array_sort(distinct), 0)).otherwise(primary)
+
+
 def node_class_lookup(nodes: DataFrame, reorder: bool = True) -> DataFrame:
     """J1 — the node→primary-class lookup.
 
@@ -122,10 +135,11 @@ def node_class_lookup(nodes: DataFrame, reorder: bool = True) -> DataFrame:
     shuffle-join when it doesn't — exactly the scale-out the reference
     lacks.
     """
-    cat = F.col("category")
     if reorder:
-        cat = reorder_categories(cat)
-    return nodes.select(F.col("id"), F.get(cat, 0).alias("node_class"))
+        cls = primary_category(F.col("category"))
+    else:
+        cls = F.get(F.col("category"), 0)
+    return nodes.select(F.col("id"), cls.alias("node_class"))
 
 
 def resolve_edge_classes(
